@@ -1,0 +1,248 @@
+"""Single-tree configuration system.
+
+Mirrors the reference Hydra tree (reference: configs/config.yaml:1-97) as nested
+dataclasses with YAML loading and dotted-path CLI overrides, without a Hydra
+dependency.  Every field of the reference config has an equivalent here; extra
+TPU-specific knobs live under ``mesh`` and ``precision``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclass
+class TrainSplitConfig:
+    name: str = "shapenet6d"
+    split: str = "custom_train"
+    obj: str = "all"
+
+
+@dataclass
+class TestSplitConfig:
+    name: str = "nocs"
+    split: str = "cross_scene_test"
+    obj: str = "all"
+
+
+@dataclass
+class DatasetConfig:
+    root: str = "data"
+    batch_size: int = 32
+    img_size: Tuple[int, int] = (224, 224)
+    max_corrs: int = 500
+    train: TrainSplitConfig = field(default_factory=TrainSplitConfig)
+    test: TestSplitConfig = field(default_factory=TestSplitConfig)
+
+
+@dataclass
+class ImageEncoderConfig:
+    # reference: configs/config.yaml:31-39
+    img_size: Tuple[int, int] = (192, 192)
+    out_channels: int = 32
+    extra_upsampling: bool = True
+    vlm: str = "clip"
+    use_decoder_guidance: bool = True
+    use_cost_guidance: bool = True
+    decoder_type: str = "standard"
+
+
+@dataclass
+class ModelConfig:
+    use_catseg_ckpt: bool = True
+    image_encoder: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
+
+
+@dataclass
+class LossWeights:
+    mask: float = 1.0
+    pos: float = 0.5
+    neg: float = 0.5
+
+
+@dataclass
+class LossConfig:
+    # reference: configs/config.yaml:41-50
+    hard_negatives: bool = True
+    pos_margin: float = 0.2
+    neg_margin: float = 0.9
+    neg_kernel_size: int = 5
+    mask_type: str = "dice"
+    neg_pool: int = 2000  # hardest-negative candidate pool (reference losses.py:196)
+    w: LossWeights = field(default_factory=LossWeights)
+
+
+@dataclass
+class TestConfig:
+    # reference: configs/config.yaml:52-62
+    mask: str = "predicted"  # predicted | oracle | ovseg
+    add_description: str = "yes"
+    src_sampling: int = 5000
+    solver: str = "pointdsc"  # pointdsc | ransac
+    n_corrs: int = 500
+    dist_th: float = 0.25
+    mask_threshold: float = 0.5
+    only_save_masks: bool = False
+    only_save_featmaps: bool = False
+
+
+@dataclass
+class OptimizationConfig:
+    # reference: configs/config.yaml:64-70
+    optim_type: str = "Adam"
+    scheduler_type: str = "cosine"
+    lr: float = 1e-3
+    momentum: float = 0.0
+    w_decay: float = 5e-4
+    gamma: float = 0.1
+
+
+@dataclass
+class TrainingConfig:
+    n_epochs: int = 20
+    freq_save: int = 5
+    freq_valid: int = 5
+
+
+@dataclass
+class RGBAugConfig:
+    jitter: bool = True
+    bright: bool = True
+    hflip: bool = True
+    vflip: bool = True
+
+
+@dataclass
+class TextAugConfig:
+    synset: bool = True
+
+
+@dataclass
+class AugConfig:
+    rgb: RGBAugConfig = field(default_factory=RGBAugConfig)
+    text: TextAugConfig = field(default_factory=TextAugConfig)
+
+
+@dataclass
+class PretrainedConfig:
+    pointdsc: str = "pretrained_models/pointdsc"
+    vocabulary: str = "pretrained_models/bpe_simple_vocab_16e6.txt.gz"
+    clip: str = "pretrained_models/clip_vit_l14_336.npz"
+    swin: str = "pretrained_models/swin_b.npz"
+    catseg: str = "pretrained_models/catseg.npz"
+
+
+@dataclass
+class EvalConfig:
+    ckpt: Optional[str] = None
+    results: Optional[str] = None
+
+
+@dataclass
+class MeshConfig:
+    """TPU device-mesh layout (no reference equivalent: reference uses
+    single-node Lightning DDP, run_train.py:60-76)."""
+
+    data: int = -1  # -1 = all devices on the data axis
+    model: int = 1  # optional tensor-parallel axis for the ViT encoder
+
+
+@dataclass
+class PrecisionConfig:
+    compute_dtype: str = "bfloat16"  # activations in the frozen/compute path
+    param_dtype: str = "float32"
+    matching_dtype: str = "float32"  # NN-matching similarity accumulation
+
+
+@dataclass
+class Config:
+    exp_name: str = "baseline"
+    exp_root: str = "exp_data"
+    exp_tag: str = "Ours"
+    use_seed: bool = False
+    seed: int = 1
+    compute_vsd: bool = True
+    viz_valid: bool = False
+    debug_valid: bool = False
+    profiler: bool = False
+    resume_ckpt: str = "none"
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    augs: AugConfig = field(default_factory=AugConfig)
+    pretrained: PretrainedConfig = field(default_factory=PretrainedConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    precision: PrecisionConfig = field(default_factory=PrecisionConfig)
+
+
+def _apply(obj: Any, key: str, value: Any) -> None:
+    parts = key.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"Unknown config key: {key}")
+    cur = getattr(obj, leaf)
+    if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
+        value = tuple(value)
+    elif isinstance(cur, bool) and isinstance(value, str):
+        value = value.lower() in ("1", "true", "yes")
+    elif cur is not None and not isinstance(cur, (dict, list, tuple)) and not dataclasses.is_dataclass(cur):
+        value = type(cur)(value)
+    setattr(obj, leaf, value)
+
+
+def _merge_dict(obj: Any, d: Dict[str, Any], prefix: str = "") -> None:
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict) and dataclasses.is_dataclass(getattr(obj, k, None)):
+            _merge_dict(getattr(obj, k), v)
+        else:
+            _apply(obj, key, v)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[List[str]] = None) -> Config:
+    """Build a Config from an optional YAML file plus ``a.b.c=value`` overrides."""
+    cfg = Config()
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        _merge_dict(cfg, data)
+    for ov in overrides or []:
+        key, _, raw = ov.partition("=")
+        try:
+            value = yaml.safe_load(raw)
+        except yaml.YAMLError:
+            value = raw
+        _apply(cfg, key.strip(), value)
+    return cfg
+
+
+def to_dict(cfg: Any) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+def flatten(cfg: Any, prefix: str = "") -> Dict[str, Any]:
+    """Flatten the config tree to dotted keys (reference: utils/misc.py:124-143)."""
+    out: Dict[str, Any] = {}
+    for f_ in dataclasses.fields(cfg):
+        v = getattr(cfg, f_.name)
+        key = f"{prefix}{f_.name}"
+        if dataclasses.is_dataclass(v):
+            out.update(flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out

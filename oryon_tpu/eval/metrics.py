@@ -1,0 +1,99 @@
+"""Pose & segmentation metrics, batched and jit-friendly.
+
+Rebuilt from the reference formulas:
+  * mask IoU          — reference utils/metrics.py:18-40
+  * R/T errors        — reference utils/metrics.py:222-259
+  * ADD / ADD-S       — reference utils/metrics.py:194-220 (ADD-S uses a
+                        brute-force NN matmul instead of a KDTree; exact
+                        same minimum since the metric is exact NN distance)
+  * FMR               — reference utils/metrics.py:59-77
+
+The reference pipeline computes ADD/ADD-S through float16-cast transforms
+(utils/pcd.py:127-133).  We compute in float32: parity with reference scores
+is statistical (the fp16 casts add noise to the *reference*), which is the
+documented tolerance policy (SURVEY.md §7 risks).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from oryon_tpu.geometry.pcd import sq_dist_matrix, transform_pcd
+from oryon_tpu.utils.precision import fp32_matmul
+
+
+def mask_iou(mask1: jnp.ndarray, mask2: jnp.ndarray) -> jnp.ndarray:
+    """IoU between [..., H, W] binary masks -> [...]."""
+    m1 = mask1.astype(bool).reshape(mask1.shape[:-2] + (-1,))
+    m2 = mask2.astype(bool).reshape(mask2.shape[:-2] + (-1,))
+    inter = jnp.sum(m1 & m2, axis=-1)
+    union = jnp.sum(m1 | m2, axis=-1)
+    return inter / jnp.maximum(union, 1)
+
+
+@fp32_matmul
+def rotation_translation_errors(
+    pose1: jnp.ndarray, pose2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Angle difference (degrees) and translation difference (centimeters).
+
+    pose{1,2}: (..., 4, 4) with translations in meters.  Matches reference
+    compute_RT_distances (utils/metrics.py:222-259), including the
+    det-normalization of R and the NaN->180 guard.
+    """
+    R1 = pose1[..., :3, :3]
+    R2 = pose2[..., :3, :3]
+    R1 = R1 / jnp.cbrt(jnp.linalg.det(R1))[..., None, None]
+    R2 = R2 / jnp.cbrt(jnp.linalg.det(R2))[..., None, None]
+    R = jnp.einsum("...ij,...kj->...ik", R1, R2)
+    tr = jnp.trace(R, axis1=-2, axis2=-1)
+    arg = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-12, 1.0 - 1e-12)
+    theta = jnp.degrees(jnp.arccos(arg))
+    theta = jnp.where(jnp.isnan(theta), 180.0, theta)
+    shift = jnp.linalg.norm(pose1[..., :3, 3] - pose2[..., :3, 3], axis=-1) * 100.0
+    return theta, shift
+
+
+@fp32_matmul
+def compute_add(
+    pts: jnp.ndarray, pred_pose: jnp.ndarray, gt_pose: jnp.ndarray
+) -> jnp.ndarray:
+    """Average distance of model points (ADD). pts: (..., N, 3); poses (..., 4, 4)."""
+    p = transform_pcd(pts, pred_pose[..., :3, :3], pred_pose[..., :3, 3])
+    g = transform_pcd(pts, gt_pose[..., :3, :3], gt_pose[..., :3, 3])
+    return jnp.mean(jnp.linalg.norm(p - g, axis=-1), axis=-1)
+
+
+@fp32_matmul
+def compute_adds(
+    pts: jnp.ndarray, pred_pose: jnp.ndarray, gt_pose: jnp.ndarray
+) -> jnp.ndarray:
+    """ADD-S: mean NN distance from predicted-pose points to gt-pose points.
+
+    Exact brute-force NN on the MXU (reference uses a KDTree,
+    utils/metrics.py:216-218 — identical value).
+    """
+    p = transform_pcd(pts, pred_pose[..., :3, :3], pred_pose[..., :3, 3])
+    g = transform_pcd(pts, gt_pose[..., :3, :3], gt_pose[..., :3, 3])
+    d2 = sq_dist_matrix(p, g)
+    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1) + 1e-12), axis=-1)
+
+
+def fmr(
+    feats1: jnp.ndarray,
+    feats2: jnp.ndarray,
+    dist_th: float,
+    inlier_th: float,
+) -> jnp.ndarray:
+    """Feature-match recall over (..., N, D) matched feature sets."""
+    cos = jnp.sum(
+        _unit(feats1) * _unit(feats2), axis=-1
+    )
+    dist = 0.5 * (1.0 - cos)
+    inlier_ratio = jnp.mean((dist < dist_th).astype(jnp.float32), axis=-1)
+    return (inlier_ratio > inlier_th).astype(jnp.float32)
+
+
+def _unit(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)

@@ -1,0 +1,168 @@
+"""Rigid registration: (weighted) Kabsch, parallel RANSAC, fixed-trip ICP.
+
+TPU-first redesign of the reference solvers:
+  * reference best_fit_transform (utils/geo6d.py:40-73) -> ``kabsch`` /
+    ``weighted_kabsch`` on jnp.linalg.svd, batched over leading dims;
+  * reference sequential 10k-iteration RANSAC loop with early exit
+    (utils/geo6d.py:75-120, called from pipeline.py:463) -> ``ransac_kabsch``:
+    all hypotheses are drawn and scored IN PARALLEL (one batched SVD + one
+    batched inlier matmul), then the best is refit on its inliers.  Same
+    estimator family, no data-dependent control flow, vmaps over pairs;
+  * reference ICP (utils/geo6d.py:157-208) -> fixed-trip-count loop with a
+    convergence mask, brute-force NN as a matmul instead of a KDTree.
+
+All functions accept an optional per-point validity weight so fixed-capacity
+padded correspondence buffers register correctly.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from oryon_tpu.geometry.pcd import sq_dist_matrix, transform_pcd
+from oryon_tpu.utils.precision import fp32_matmul
+
+
+@fp32_matmul
+def weighted_kabsch(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Least-squares rigid transform T (4x4) mapping A -> B.
+
+    A, B: (..., N, 3); weights: (..., N) nonnegative. Handles the reflection
+    case via the det-sign trick (reference utils/geo6d.py:62-67 and
+    models/pointdsc/common.py:7-45). SVD runs in float32 on-device — no
+    CPU round-trip (the reference moves SVD to CPU, common.py:36).
+    """
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    if weights is None:
+        weights = jnp.ones(A.shape[:-1], dtype=jnp.float32)
+    w = weights.astype(jnp.float32)
+    wsum = jnp.sum(w, axis=-1, keepdims=True) + eps
+    cA = jnp.sum(A * w[..., None], axis=-2) / wsum
+    cB = jnp.sum(B * w[..., None], axis=-2) / wsum
+    Am = A - cA[..., None, :]
+    Bm = B - cB[..., None, :]
+    H = jnp.einsum("...ni,...n,...nj->...ij", Am, w, Bm,
+                   precision=jax.lax.Precision.HIGHEST)
+    U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
+    V = jnp.swapaxes(Vt, -1, -2)
+    det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", V, U))
+    D = jnp.zeros_like(H).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    D = D.at[..., 2, 2].set(det)
+    R = jnp.einsum("...ij,...jk,...lk->...il", V, D, U,
+                   precision=jax.lax.Precision.HIGHEST)
+    t = cB - jnp.einsum("...ij,...j->...i", R, cA, precision=jax.lax.Precision.HIGHEST)
+    T = jnp.zeros(A.shape[:-2] + (4, 4), dtype=jnp.float32)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def kabsch(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Unweighted rigid fit, reference utils/geo6d.py:40-73 semantics."""
+    return weighted_kabsch(A, B, None)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def ransac_kabsch(
+    key: jax.Array,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    num_hypotheses: int = 512,
+    match_err: float = 0.001,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel-hypothesis RANSAC + inlier refit.
+
+    A, B: [N, 3] matched points (padded rows flagged by ``valid`` [N]).
+    Draws ``num_hypotheses`` random 4-point minimal sets plus one all-point
+    hypothesis, fits them with one batched Kabsch, scores inliers at
+    ``match_err`` (meters) with one batched distance computation, and refits
+    on the winning hypothesis' inliers.  Functional equivalent of the
+    reference sequential loop (utils/geo6d.py:75-120); returns (T 4x4,
+    inlier_count).
+    """
+    if A.shape != B.shape:
+        raise ValueError(f"ransac_kabsch: A and B must match, got {A.shape} vs {B.shape}")
+    N = A.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=jnp.float32)
+    valid = valid.astype(jnp.float32)
+    n_valid = jnp.sum(valid)
+
+    # Random minimal sets drawn from valid rows only (uniform over valid by
+    # inverse-CDF on the cumulative validity mass).
+    u = jax.random.uniform(key, (num_hypotheses, 4))
+    cdf = jnp.cumsum(valid) / jnp.maximum(n_valid, 1.0)
+    idx = jnp.searchsorted(cdf, u.reshape(-1)).reshape(num_hypotheses, 4)
+    idx = jnp.clip(idx, 0, N - 1)
+    sub_A = A[idx]  # [H, 4, 3]
+    sub_B = B[idx]
+
+    T_min = weighted_kabsch(sub_A, sub_B)              # [H, 4, 4]
+    T_all = weighted_kabsch(A[None], B[None], valid[None])  # [1, 4, 4]
+    T_hyp = jnp.concatenate([T_all, T_min], axis=0)    # [H+1, 4, 4]
+
+    # Score all hypotheses: residual of every point under every hypothesis.
+    pred = transform_pcd(A[None], T_hyp[:, :3, :3], T_hyp[:, :3, 3])  # [H+1, N, 3]
+    err = jnp.linalg.norm(pred - B[None], axis=-1)                     # [H+1, N]
+    inl = (err <= match_err).astype(jnp.float32) * valid[None]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+
+    # Refit on the winning inlier set (weighted Kabsch with 0/1 weights);
+    # degenerate winners (<4 inliers) keep the hypothesis transform.
+    w_best = inl[best]
+    T_refit = weighted_kabsch(A, B, w_best)
+    enough = counts[best] >= 4.0
+    T = jnp.where(enough, T_refit, T_hyp[best])
+    return T, counts[best]
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def icp(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    init_T: Optional[jnp.ndarray] = None,
+    max_iterations: int = 20,
+    tolerance: float = 1e-3,
+) -> jnp.ndarray:
+    """Iterative closest point with a fixed trip count + convergence mask.
+
+    A, B: [N, 3].  NN search is a brute-force argmin over an MXU distance
+    matrix (exact, reference utils/geo6d.py:22-38 used sklearn KDTree).
+    """
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+
+    def body(carry, _):
+        src, prev_err, done = carry
+
+        def step(src):
+            d2 = sq_dist_matrix(src, B)
+            nn = jnp.argmin(d2, axis=-1)
+            dist = jnp.sqrt(jnp.take_along_axis(d2, nn[:, None], axis=-1)[:, 0] + 1e-12)
+            T = weighted_kabsch(src, B[nn])
+            new_src = transform_pcd(src, T[:3, :3], T[:3, 3])
+            err = jnp.mean(dist)
+            return new_src, err
+
+        new_src, err = step(src)
+        converged = jnp.abs(prev_err - err) < tolerance
+        src_out = jnp.where(done, src, new_src)
+        return (src_out, err, done | converged), None
+
+    (src_fin, _, _), _ = jax.lax.scan(
+        body, (transform_pcd(A, init_T[:3, :3], init_T[:3, 3]), jnp.inf, False),
+        None, length=max_iterations,
+    )
+    return weighted_kabsch(A, src_fin)

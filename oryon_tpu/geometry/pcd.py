@@ -1,0 +1,122 @@
+"""Point-cloud substrate: depth lifting, transforms, pairwise distances.
+
+TPU-first redesign of the reference geometry core (reference: utils/pcd.py):
+  * pairwise distances are expressed as matmuls (MXU) instead of broadcast
+    subtraction where possible;
+  * ``lift_pcd_at`` takes fixed-capacity index buffers + validity masks instead
+    of ragged index tuples (reference lift_pcd with xy_idxs, utils/pcd.py:35-81);
+  * everything is batched/vmap-able and statically shaped.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def lift_pcd(depth: jnp.ndarray, camera: jnp.ndarray) -> jnp.ndarray:
+    """Backproject a full depth image to a point cloud.
+
+    depth:  [H, W] depth (same unit in, same unit out).
+    camera: [9] flattened row-major intrinsics K.
+    Returns [H*W, 3] points; pixels with depth 0 lift to the origin ray * 0.
+    Matches reference utils/pcd.py:35-81 (dense path).
+    """
+    H, W = depth.shape
+    fx, cx, fy, cy = camera[0], camera[2], camera[4], camera[5]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    d = depth.astype(jnp.float32)
+    px = (xs - cx) * d / fx
+    py = (ys - cy) * d / fy
+    return jnp.stack([px.ravel(), py.ravel(), d.ravel()], axis=1)
+
+
+def lift_pcd_at(
+    depth: jnp.ndarray,
+    camera: jnp.ndarray,
+    yx: jnp.ndarray,
+) -> jnp.ndarray:
+    """Backproject depth at fixed-capacity integer (y, x) coordinates.
+
+    depth: [H, W]; camera: [9]; yx: [N, 2] int — caller guarantees in-bounds
+    (clip beforehand; invalid rows should carry a separate validity mask).
+    Returns [N, 3]. Matches reference utils/pcd.py:35-81 (sparse path).
+    """
+    fx, cx, fy, cy = camera[0], camera[2], camera[4], camera[5]
+    y = yx[:, 0]
+    x = yx[:, 1]
+    d = depth[y, x].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    px = (xf - cx) * d / fx
+    py = (yf - cy) * d / fy
+    return jnp.stack([px, py, d], axis=1)
+
+
+def transform_pcd(pcd: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Apply a rigid transform to (..., N, 3) points. R: (..., 3, 3), t: (..., 3).
+
+    Precision pinned to fp32: on TPU the default bf16 matmul costs ~2 degrees
+    of rotation accuracy through the registration stack (measured).
+    """
+    return (
+        jnp.einsum("...ij,...nj->...ni", R, pcd, precision=jax.lax.Precision.HIGHEST)
+        + t[..., None, :]
+    )
+
+
+def transform_pcd_h(pcd: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """Apply a (..., 4, 4) homogeneous transform to (..., N, 3) points."""
+    return transform_pcd(pcd, T[..., :3, :3], T[..., :3, 3])
+
+
+def sq_dist_matrix(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distance matrix via the matmul expansion (MXU-friendly).
+
+    A: (..., N, D), B: (..., M, D) -> (..., N, M).
+    """
+    a2 = jnp.sum(A * A, axis=-1, keepdims=True)
+    b2 = jnp.sum(B * B, axis=-1, keepdims=True)
+    ab = jnp.einsum("...nd,...md->...nm", A, B, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2), 0.0)
+
+
+def pairwise_dist(A: jnp.ndarray, B: jnp.ndarray, kind: str = "L2") -> jnp.ndarray:
+    """Pairwise distance matrix; kinds mirror reference utils/pcd.py:22-33."""
+    if kind == "L2":
+        return jnp.sqrt(sq_dist_matrix(A, B) + 1e-7)
+    if kind == "SquareL2":
+        return sq_dist_matrix(A, B)
+    if kind == "inv_norm_cosine":
+        return inv_norm_cosine(A, B)
+    if kind == "cosine":
+        return 0.5 * (cosine_matrix(A, B) + 1.0)
+    raise NotImplementedError(kind)
+
+
+def cosine_matrix(A: jnp.ndarray, B: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Cosine similarity matrix (..., N, M) as a single normalized matmul."""
+    An = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), eps)
+    Bn = B / jnp.maximum(jnp.linalg.norm(B, axis=-1, keepdims=True), eps)
+    return jnp.einsum("...nd,...md->...nm", An, Bn, precision=jax.lax.Precision.HIGHEST)
+
+
+def inv_norm_cosine(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Inverted, [0,1]-normalized cosine distance: 0.5 * (1 - cos)."""
+    return 0.5 * (1.0 - cosine_matrix(A, B))
+
+
+def diameter(pts: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned extent diameter, matching reference utils/pcd.py:16-20
+    (max over per-axis ranges — NOT the true farthest-pair diameter)."""
+    return jnp.max(jnp.max(pts[..., :3], axis=-2) - jnp.min(pts[..., :3], axis=-2), axis=-1)
+
+
+def sample_select(key: jax.Array, n_avail: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Uniform with-replacement index sampling into a fixed-capacity buffer.
+
+    Mirrors reference torch_sample_select (utils/misc.py:242-254) under a JAX
+    PRNG: returns ``capacity`` int32 indices drawn uniformly from [0, n_avail).
+    """
+    u = jax.random.uniform(key, (capacity,))
+    return jnp.floor(u * n_avail.astype(jnp.float32)).astype(jnp.int32)

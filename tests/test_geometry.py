@@ -1,0 +1,159 @@
+"""Golden-value tests for the geometry substrate.
+
+Golden values are computed with independent numpy implementations of the
+published formulas (depth back-projection, Kabsch/Umeyama, cosine distance),
+mirroring the reference semantics (utils/pcd.py, utils/geo6d.py,
+utils/coordinates.py) without reusing its code.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oryon_tpu.geometry import (
+    scale_coords, valid_coords, lift_pcd, lift_pcd_at,
+    transform_pcd, pairwise_dist, diameter,
+    kabsch, weighted_kabsch, ransac_kabsch, icp,
+)
+from tests.conftest import random_pose
+
+K9 = np.array([591.0125, 0, 322.525, 0, 590.16775, 244.11084, 0, 0, 1], np.float32)
+
+
+def test_scale_coords_roundtrip():
+    c = jnp.array([[10.0, 20.0], [191.0, 0.0]])
+    up = scale_coords(c, (192, 192), (480, 640))
+    np.testing.assert_allclose(np.asarray(up[0]), [10 * 480 / 192, 20 * 640 / 192], rtol=1e-6)
+    # 4-wide correspondence rows scale both endpoints
+    c4 = jnp.array([[10.0, 20.0, 30.0, 40.0]])
+    up4 = scale_coords(c4, (100, 200), (200, 100))
+    np.testing.assert_allclose(np.asarray(up4[0]), [20.0, 10.0, 60.0, 20.0], rtol=1e-6)
+
+
+def test_valid_coords():
+    c = jnp.array([[0.0, 0.0], [-1.0, 5.0], [99.0, 99.0], [100.0, 50.0]])
+    v = valid_coords(c, (100, 100))
+    assert list(np.asarray(v)) == [True, False, True, False]
+
+
+def test_lift_pcd_matches_pinhole(rng):
+    H, W = 24, 32
+    depth = rng.rand(H, W).astype(np.float32) * 1000
+    pcd = np.asarray(lift_pcd(jnp.array(depth), jnp.array(K9)))
+    # independent pinhole backprojection at a few pixels
+    for y, x in [(0, 0), (5, 7), (23, 31)]:
+        d = depth[y, x]
+        ex = (x - K9[2]) * d / K9[0]
+        ey = (y - K9[5]) * d / K9[4]
+        np.testing.assert_allclose(pcd[y * W + x], [ex, ey, d], rtol=1e-5)
+
+
+def test_lift_pcd_at_consistency(rng):
+    H, W = 24, 32
+    depth = jnp.array(rng.rand(H, W).astype(np.float32) * 1000)
+    yx = jnp.array([[3, 4], [10, 20], [23, 31]], jnp.int32)
+    dense = lift_pcd(depth, jnp.array(K9)).reshape(H, W, 3)
+    sparse = lift_pcd_at(depth, jnp.array(K9), yx)
+    for i, (y, x) in enumerate(np.asarray(yx)):
+        np.testing.assert_allclose(np.asarray(sparse[i]), np.asarray(dense[y, x]), rtol=1e-6)
+
+
+def test_pairwise_dist_kinds(rng):
+    A = jnp.array(rng.randn(5, 8).astype(np.float32))
+    B = jnp.array(rng.randn(7, 8).astype(np.float32))
+    l2 = np.asarray(pairwise_dist(A, B, "L2"))
+    ref = np.linalg.norm(np.asarray(A)[:, None] - np.asarray(B)[None], axis=-1)
+    np.testing.assert_allclose(l2, ref, atol=1e-3)
+
+    inc = np.asarray(pairwise_dist(A, B, "inv_norm_cosine"))
+    An = np.asarray(A) / np.linalg.norm(A, axis=-1, keepdims=True)
+    Bn = np.asarray(B) / np.linalg.norm(B, axis=-1, keepdims=True)
+    ref_c = 0.5 * (1 - An @ Bn.T)
+    np.testing.assert_allclose(inc, ref_c, atol=1e-5)
+    assert (inc >= -1e-6).all() and (inc <= 1 + 1e-6).all()
+
+
+def test_diameter():
+    pts = jnp.array([[0.0, 0, 0], [1, 2, 0.5], [-1, 0, 0]])
+    assert float(diameter(pts)) == pytest.approx(2.0)
+
+
+def test_kabsch_recovers_pose(rng):
+    T = random_pose(rng)
+    A = rng.randn(50, 3).astype(np.float32)
+    B = (A @ T[:3, :3].T) + T[:3, 3]
+    T_est = np.asarray(kabsch(jnp.array(A), jnp.array(B)))
+    np.testing.assert_allclose(T_est, T, atol=1e-4)
+
+
+def test_kabsch_batched(rng):
+    Ts = np.stack([random_pose(rng) for _ in range(4)])
+    A = rng.randn(4, 30, 3).astype(np.float32)
+    B = np.einsum("bij,bnj->bni", Ts[:, :3, :3], A) + Ts[:, None, :3, 3]
+    T_est = np.asarray(kabsch(jnp.array(A), jnp.array(B)))
+    np.testing.assert_allclose(T_est, Ts, atol=1e-4)
+
+
+def test_weighted_kabsch_ignores_zero_weight_outliers(rng):
+    T = random_pose(rng)
+    A = rng.randn(40, 3).astype(np.float32)
+    B = (A @ T[:3, :3].T) + T[:3, 3]
+    B[:5] += 10.0  # corrupted rows
+    w = np.ones(40, np.float32)
+    w[:5] = 0.0
+    T_est = np.asarray(weighted_kabsch(jnp.array(A), jnp.array(B), jnp.array(w)))
+    np.testing.assert_allclose(T_est, T, atol=1e-4)
+
+
+def test_kabsch_reflection_case():
+    # nearly planar degenerate data that would produce det=-1 without the fix
+    A = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0.01]], np.float32)
+    B = A[:, [1, 0, 2]].copy()
+    T = np.asarray(kabsch(jnp.array(A), jnp.array(B)))
+    assert np.linalg.det(T[:3, :3]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ransac_kabsch_with_outliers(rng):
+    T = random_pose(rng, t_scale=0.2)
+    N = 300
+    A = rng.randn(N, 3).astype(np.float32) * 0.3
+    B = (A @ T[:3, :3].T) + T[:3, 3]
+    # 40% outliers
+    n_out = 120
+    B[:n_out] = rng.randn(n_out, 3).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    T_est, n_inl = ransac_kabsch(key, jnp.array(A), jnp.array(B), match_err=0.005)
+    np.testing.assert_allclose(np.asarray(T_est), T, atol=1e-2)
+    assert float(n_inl) >= N - n_out - 5
+
+
+def test_ransac_respects_validity_mask(rng):
+    T = random_pose(rng, t_scale=0.2)
+    N = 200
+    A = rng.randn(N, 3).astype(np.float32) * 0.3
+    B = (A @ T[:3, :3].T) + T[:3, 3]
+    # padding rows (garbage) flagged invalid
+    A[150:] = 0.0
+    B[150:] = rng.randn(50, 3).astype(np.float32) * 5
+    valid = np.zeros(N, np.float32)
+    valid[:150] = 1.0
+    T_est, _ = ransac_kabsch(jax.random.PRNGKey(1), jnp.array(A), jnp.array(B),
+                             valid=jnp.array(valid), match_err=0.005)
+    np.testing.assert_allclose(np.asarray(T_est), T, atol=1e-2)
+
+
+def test_icp_converges_small_perturbation(rng):
+    A = rng.randn(200, 3).astype(np.float32)
+    ang = 0.05
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    B = A @ Rz.T + np.array([0.01, -0.02, 0.005], np.float32)
+    T = np.asarray(icp(jnp.array(A), jnp.array(B)))
+    np.testing.assert_allclose(T[:3, :3], Rz, atol=1e-3)
+
+
+def test_transform_pcd_homogeneous(rng):
+    T = random_pose(rng)
+    pts = rng.randn(10, 3).astype(np.float32)
+    out = np.asarray(transform_pcd(jnp.array(pts), jnp.array(T[:3, :3].astype(np.float32)), jnp.array(T[:3, 3].astype(np.float32))))
+    ref = pts @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
