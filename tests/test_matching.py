@@ -1,0 +1,138 @@
+"""Tests for fixed-capacity masked NN matching.
+
+Goldens via brute-force numpy cosine argmin over the masked ROIs (the
+reference algorithm, utils/pcd.py:177-216, reimplemented from its definition).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oryon_tpu.ops import nn_correspondences, nn_correspondences_anchors, MatchParams
+from oryon_tpu.ops.matching import nn_correspondences_batch
+from oryon_tpu.ops.sampling import masked_select, masked_sample
+
+H = W = 48
+D = 8
+PARAMS = MatchParams(src_capacity=256, max_corrs=64, dist_th=0.25, chunk=48 * 8)
+
+
+def brute_force_match(f1, f2, m1, m2):
+    """All masked src pixels -> best masked tgt pixel by cosine distance."""
+    src = np.stack(np.nonzero(m1), 1)
+    tgt = np.stack(np.nonzero(m2), 1)
+    sf = f1[src[:, 0], src[:, 1]]
+    tf = f2[tgt[:, 0], tgt[:, 1]]
+    sf = sf / np.linalg.norm(sf, axis=1, keepdims=True)
+    tf = tf / np.linalg.norm(tf, axis=1, keepdims=True)
+    dist = 0.5 * (1 - sf @ tf.T)
+    arg = dist.argmin(1)
+    return {tuple(s): (tuple(tgt[a]), dist[i, a]) for i, (s, a) in enumerate(zip(src, arg))}
+
+
+def make_pair(rng, n1=100, n2=150):
+    f1 = rng.randn(H, W, D).astype(np.float32)
+    f2 = rng.randn(H, W, D).astype(np.float32)
+    m1 = np.zeros((H, W), np.uint8)
+    m2 = np.zeros((H, W), np.uint8)
+    idx1 = rng.choice(H * W, n1, replace=False)
+    idx2 = rng.choice(H * W, n2, replace=False)
+    m1.flat[idx1] = 1
+    m2.flat[idx2] = 1
+    # plant exact matches so some pairs clear the 0.25 threshold
+    s_planted = np.stack(np.nonzero(m1), 1)[:40]
+    t_planted = np.stack(np.nonzero(m2), 1)[:40]
+    f2[t_planted[:, 0], t_planted[:, 1]] = f1[s_planted[:, 0], s_planted[:, 1]]
+    return f1, f2, m1, m2
+
+
+def test_matches_agree_with_bruteforce(rng):
+    f1, f2, m1, m2 = make_pair(rng)
+    golden = brute_force_match(f1, f2, m1, m2)
+    out = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(m1), jnp.array(m2),
+                             jax.random.PRNGKey(0), PARAMS)
+    rows = np.asarray(out.yx)
+    valid = np.asarray(out.valid)
+    dists = np.asarray(out.min_dist)
+    assert valid.any()
+    for row, v, d in zip(rows, valid, dists):
+        if not v:
+            continue
+        s = (row[0], row[1])
+        assert s in golden, f"source {s} not in mask1"
+        t_gold, d_gold = golden[s]
+        assert (row[2], row[3]) == t_gold
+        assert abs(d - d_gold) < 1e-4
+        assert d < PARAMS.dist_th
+
+
+def test_all_valid_rows_under_threshold_and_planted_found(rng):
+    f1, f2, m1, m2 = make_pair(rng)
+    out = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(m1), jnp.array(m2),
+                             jax.random.PRNGKey(1), PARAMS)
+    n_valid = int(np.asarray(out.valid).sum())
+    # 40 planted exact matches exist -> at least most of them found
+    assert n_valid >= 35
+    assert (np.asarray(out.min_dist)[np.asarray(out.valid)] < PARAMS.dist_th).all()
+
+
+def test_empty_masks_yield_no_valid(rng):
+    f1, f2, m1, m2 = make_pair(rng)
+    z = np.zeros_like(m1)
+    out = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(z), jnp.array(m2),
+                             jax.random.PRNGKey(0), PARAMS)
+    assert not np.asarray(out.valid).any()
+    # impossible threshold -> nothing clears it
+    strict = MatchParams(src_capacity=256, max_corrs=64, dist_th=-1.0, chunk=48 * 8)
+    out2 = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(m1), jnp.array(m2),
+                              jax.random.PRNGKey(0), strict)
+    assert not np.asarray(out2.valid).any()
+
+
+def test_anchor_variant(rng):
+    f1, f2, m1, m2 = make_pair(rng)
+    golden = brute_force_match(f1, f2, m1, m2)
+    anchors = np.stack(np.nonzero(m1), 1)[:32].astype(np.int32)
+    rows = np.asarray(nn_correspondences_anchors(
+        jnp.array(f1), jnp.array(f2), jnp.array(anchors), jnp.array(m2), chunk=48 * 8))
+    for row in rows:
+        t_gold, _ = golden[(row[0], row[1])]
+        assert (row[2], row[3]) == t_gold
+
+
+def test_batched_matching(rng):
+    pairs = [make_pair(rng) for _ in range(3)]
+    f1 = jnp.array(np.stack([p[0] for p in pairs]))
+    f2 = jnp.array(np.stack([p[1] for p in pairs]))
+    m1 = jnp.array(np.stack([p[2] for p in pairs]))
+    m2 = jnp.array(np.stack([p[3] for p in pairs]))
+    out = nn_correspondences_batch(f1, f2, m1, m2, jax.random.PRNGKey(2), PARAMS)
+    assert out.yx.shape == (3, PARAMS.max_corrs, 4)
+    for b in range(3):
+        golden = brute_force_match(*pairs[b])
+        rows, valid = np.asarray(out.yx[b]), np.asarray(out.valid[b])
+        assert valid.any()
+        for row, v in zip(rows, valid):
+            if v:
+                assert golden[(row[0], row[1])][0] == (row[2], row[3])
+
+
+def test_masked_select_counts(rng):
+    mask = np.zeros(1000, np.uint8)
+    mask[rng.choice(1000, 100, replace=False)] = 1
+    idx, valid = masked_select(jnp.array(mask), jax.random.PRNGKey(0), 64)
+    assert valid.all()  # plenty of candidates
+    assert mask[np.asarray(idx)].all()
+    # capacity above pool size: exactly 100 valid
+    idx2, valid2 = masked_select(jnp.array(mask), jax.random.PRNGKey(1), 256)
+    assert int(np.asarray(valid2).sum()) == 100
+    assert mask[np.asarray(idx2)[np.asarray(valid2)]].all()
+    assert len(np.unique(np.asarray(idx2)[np.asarray(valid2)])) == 100
+
+
+def test_masked_sample_distribution(rng):
+    w = np.zeros(100, np.float32)
+    w[:10] = 1.0
+    idx, valid = masked_sample(jnp.array(w), jax.random.PRNGKey(0), 50)
+    got = np.asarray(idx)[np.asarray(valid)]
+    assert int(np.asarray(valid).sum()) == 10
+    assert (got < 10).all()
