@@ -1,0 +1,135 @@
+"""Oryon composition root: frozen VLM + guidance towers, fusion, decoder.
+
+Rebuilds reference net.py:24-167 as one pure flax module over a pair batch:
+  * CLIP branch: resize 224->336 bicubic + CLIP normalization
+    (reference vlm.py:19-21 torchvision transform), dense 24² tokens;
+  * Swin branch: resize 224->384 bicubic align_corners + ImageNet
+    normalization (reference net.py:60-75), three guidance taps;
+  * prompts: [B, P, 77] token ids -> [B, P, 768] EOT-projected embeddings;
+  * fusion + decoder produce per-view 192² masks and 32-ch featmaps.
+
+Anchor and query run through the towers as ONE doubled batch (single MXU
+pass) instead of two sequential calls (reference net.py:145-158).
+CLIP and Swin outputs are stop-gradient'd: they are frozen (reference
+net.py:37-43 trains only fusion+decoder), so XLA prunes their backward pass.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from oryon_tpu.models.clip import (
+    ClipTextConfig, ClipTextTower, ClipVisionConfig, ClipVisionTower,
+)
+from oryon_tpu.models.decoder import DecoderConfig, StandardDecoder
+from oryon_tpu.models.fusion import FusionConfig, ImageTextFusion
+from oryon_tpu.models.swin import SwinConfig, SwinGuidance
+from oryon_tpu.ops.resize import resize2d
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class OryonOutputs(NamedTuple):
+    featmap_a: jnp.ndarray   # [B, 192, 192, C]
+    featmap_q: jnp.ndarray
+    mask_a: jnp.ndarray      # [B, 192, 192] logits
+    mask_q: jnp.ndarray
+
+
+def _normalize(x: jnp.ndarray, mean, std) -> jnp.ndarray:
+    m = jnp.asarray(mean, x.dtype)
+    s = jnp.asarray(std, x.dtype)
+    return (x - m) / s
+
+
+class OryonModel(nn.Module):
+    fusion_cfg: FusionConfig = FusionConfig()
+    decoder_cfg: DecoderConfig = DecoderConfig()
+    vision_cfg: ClipVisionConfig = ClipVisionConfig()
+    text_cfg: ClipTextConfig = ClipTextConfig()
+    swin_cfg: SwinConfig = SwinConfig()
+    swin_image_size: int = 384
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.vlm_visual = ClipVisionTower(self.vision_cfg, dtype=self.dtype)
+        self.vlm_text = ClipTextTower(self.text_cfg, dtype=self.dtype)
+        self.guidance = SwinGuidance(self.swin_cfg, dtype=self.dtype)
+        self.fusion = ImageTextFusion(self.fusion_cfg, dtype=self.dtype)
+        self.decoder = StandardDecoder(self.decoder_cfg, dtype=self.dtype)
+
+    def encode_towers(self, rgb2: jnp.ndarray):
+        """Frozen towers over a doubled batch [2B, H, W, 3] in [0,1]."""
+        s = self.vision_cfg.image_size
+        clip_in = _normalize(
+            resize2d(rgb2, (s, s), "cubic", align_corners=False),
+            CLIP_MEAN, CLIP_STD)
+        visual = self.vlm_visual(clip_in)                       # [2B, 24, 24, 1024]
+        sw = self.swin_image_size
+        swin_in = _normalize(
+            resize2d(rgb2, (sw, sw), "cubic", align_corners=True),
+            IMAGENET_MEAN, IMAGENET_STD)
+        guid = self.guidance(swin_in)                           # [g1, g2, g3]
+        visual = jax.lax.stop_gradient(visual)
+        guid = [jax.lax.stop_gradient(g) for g in guid]
+        return visual, guid
+
+    def encode_prompts(self, prompt_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, P, 77] -> [B, P, 768] (frozen)."""
+        B, P, L = prompt_ids.shape
+        emb = self.vlm_text(prompt_ids.reshape(B * P, L))
+        return jax.lax.stop_gradient(emb.reshape(B, P, -1))
+
+    def __call__(
+        self, rgb_a: jnp.ndarray, rgb_q: jnp.ndarray, prompt_ids: jnp.ndarray
+    ) -> OryonOutputs:
+        B = rgb_a.shape[0]
+        rgb2 = jnp.concatenate([rgb_a, rgb_q], axis=0)
+        visual, guid = self.encode_towers(rgb2)
+        text = self.encode_prompts(prompt_ids)
+        text2 = jnp.concatenate([text, text], axis=0)
+
+        fused = self.fusion(visual, text2, guid[0])             # [2B, 24, 24, 128]
+        mask_logits, featmap = self.decoder(fused, guid)
+
+        return OryonOutputs(
+            featmap_a=featmap[:B],
+            featmap_q=featmap[B:],
+            mask_a=mask_logits[:B],
+            mask_q=mask_logits[B:],
+        )
+
+
+def full_oryon(dtype: Any = jnp.bfloat16) -> OryonModel:
+    """Production configuration (reference configs/config.yaml:31-39):
+    ViT-L/14@336, Swin-B@384, 192² x 32-ch output."""
+    return OryonModel(dtype=dtype)
+
+
+def tiny_oryon(dtype: Any = jnp.float32) -> OryonModel:
+    """Scaled-down configuration for tests: same topology, ~1000x fewer FLOPs.
+
+    Grid: 4x4 visual tokens, guidance taps at 4/8/16, output 32² x 32-ch.
+    """
+    return OryonModel(
+        vision_cfg=ClipVisionConfig(image_size=56, patch_size=14, width=64,
+                                    layers=2, heads=4),
+        text_cfg=ClipTextConfig(vocab_size=600, context_length=16, width=32,
+                                layers=2, heads=4, embed_dim=48),
+        swin_cfg=SwinConfig(embed_dim=128, depths=(2, 2), heads=(4, 8), window=7),
+        swin_image_size=64,
+        fusion_cfg=FusionConfig(hidden_dim=128, text_guidance_dim=48,
+                                text_guidance_proj_dim=128,
+                                appearance_guidance_dim=512,
+                                appearance_proj_dim=128, num_layers=2,
+                                nheads=4, window=2, pooling=2,
+                                num_prompts=8, clip_dim=64, clip_proj_dim=48),
+        decoder_cfg=DecoderConfig(),
+        dtype=dtype,
+    )

@@ -1,0 +1,196 @@
+"""Swin-B guidance encoder (frozen appearance backbone) in flax.linen.
+
+The reference taps three nodes of torchvision's swin_b at 384x384 input
+(reference: net.py:45-58):
+    guidance3 = stage-1 block-2 output              [B, 96, 96, 128]
+    guidance2 = first PatchMerging reduction        [B, 48, 48, 256]
+    guidance1 = second PatchMerging reduction       [B, 24, 24, 512]
+Stages 3/4 are never consumed, so this module computes only
+patch-embed -> stage1(2 blocks) -> merge -> stage2(2 blocks) -> merge —
+a ~4x FLOP cut versus running the full backbone through a feature extractor.
+
+Architecture follows the published Swin design (window 7, shift 3,
+relative-position bias, pre-LN blocks, PatchMerging = LN(4C)+Linear(4C->2C));
+parameter layout mirrors torchvision for the weight converter.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    embed_dim: int = 128
+    depths: Tuple[int, int] = (2, 2)       # only stages 1-2 are consumed
+    heads: Tuple[int, int] = (4, 8)
+    window: int = 7
+    mlp_ratio: float = 4.0
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """[w*w, w*w] index into the (2w-1)^2 relative-position-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // w, w, W // w, w, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, w * w, C)
+
+
+def _window_reverse(wins: jnp.ndarray, w: int, B: int, H: int, W: int) -> jnp.ndarray:
+    C = wins.shape[-1]
+    x = wins.reshape(B, H // w, W // w, w, w, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+def shift_attention_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
+    """[num_windows, w*w, w*w] additive mask for shifted-window attention.
+
+    Pure numpy (sizes are static) so it stays a compile-time constant under jit.
+    """
+    img = np.zeros((H, W), np.float32)
+    cnt = 0
+    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    wins = img.reshape(H // w, w, W // w, w).transpose(0, 2, 1, 3).reshape(-1, w * w)
+    diff = wins[:, None, :] - wins[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+        """x: [num_windows*B, w*w, C]; mask: [num_windows, w*w, w*w] or None."""
+        Bw, N, C = x.shape
+        hd = C // self.heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
+
+        table = self.param("relative_position_bias_table",
+                           nn.initializers.normal(0.02),
+                           ((2 * self.window - 1) ** 2, self.heads), jnp.float32)
+        idx = relative_position_index(self.window)
+        bias = table[idx.reshape(-1)].reshape(N, N, self.heads).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(Bw // nw, nw, self.heads, N, N)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(Bw, self.heads, N, N)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(Bw, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        w = self.window
+        shift = self.shift if min(H, W) > w else 0
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        # pad bottom/right to window multiples (published behavior)
+        Hp = -(-H // w) * w
+        Wp = -(-W // w) * w
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shift_attention_mask(Hp, Wp, w, shift))
+        else:
+            mask = None
+        wins = _window_partition(x, w)
+        wins = WindowAttention(self.dim, self.heads, w, self.dtype, name="attn")(wins, mask)
+        x = _window_reverse(wins, w, B, Hp, Wp)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = x[:, :H, :W]
+        x = shortcut + x
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    dim: int  # input channel count C; output is 2C
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        # published concat order: (0,0), (1,0), (0,1), (1,1)
+        x = jnp.concatenate(
+            [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
+            axis=-1,
+        )
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class SwinGuidance(nn.Module):
+    """384x384 RGB -> (g1 [24,24,512], g2 [48,48,256], g3 [96,96,128])."""
+
+    cfg: SwinConfig = SwinConfig()
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        c = self.cfg
+        x = nn.Conv(c.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="patch_embed")(x.astype(self.dtype))
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+
+        for i in range(c.depths[0]):
+            x = SwinBlock(c.embed_dim, c.heads[0], c.window,
+                          shift=0 if i % 2 == 0 else c.window // 2,
+                          mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                          name=f"stage1_block{i}")(x)
+        g3 = x.astype(jnp.float32)                                 # [96, 96, 128]
+
+        x = PatchMerging(c.embed_dim, self.dtype, name="merge1")(x)
+        g2 = x.astype(jnp.float32)                                 # [48, 48, 256]
+
+        for i in range(c.depths[1]):
+            x = SwinBlock(2 * c.embed_dim, c.heads[1], c.window,
+                          shift=0 if i % 2 == 0 else c.window // 2,
+                          mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                          name=f"stage2_block{i}")(x)
+
+        x = PatchMerging(2 * c.embed_dim, self.dtype, name="merge2")(x)
+        g1 = x.astype(jnp.float32)                                 # [24, 24, 512]
+        return [g1, g2, g3]
