@@ -1,0 +1,100 @@
+"""Benchmark: end-to-end image pairs/sec through the inference pipeline.
+
+Runs the flagship path at production shapes on the available accelerator:
+model forward (CLIP ViT-L/14@336 + Swin-B + fusion + decoder) -> masked NN
+matching -> depth lift -> RANSAC registration, batched.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md); its test
+loop is per-sample Python with CPU correspondence matching
+(reference pipeline.py:313, configs/config.yaml:7).  We use a 2.0 pairs/s
+proxy for the reference GPU pipeline (documented assumption, to be replaced
+by a measured reference number when available).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PROXY_PAIRS_PER_SEC = 2.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from oryon_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.ops.matching import MatchParams, nn_correspondences_batch
+    from oryon_tpu.geometry.pcd import lift_pcd_at
+    from oryon_tpu.geometry.kabsch import ransac_kabsch
+    from oryon_tpu.ops.resize import resize_mask_nearest
+
+    B, P, L = 8, 80, 77
+    rng = np.random.RandomState(0)
+    rgb_a = jnp.array(rng.rand(B, 224, 224, 3).astype(np.float32))
+    rgb_q = jnp.array(rng.rand(B, 224, 224, 3).astype(np.float32))
+    depth_a = jnp.array((rng.rand(B, 480, 640) * 300 + 600).astype(np.float32))
+    depth_q = jnp.array((rng.rand(B, 480, 640) * 300 + 600).astype(np.float32))
+    camera = jnp.tile(jnp.array(
+        [591.0125, 0, 322.525, 0, 590.16775, 244.11084, 0, 0, 1], jnp.float32)[None], (B, 1))
+    ids = np.zeros((B, P, L), np.int32)
+    ids[:, :, 0] = 49406
+    ids[:, :, 1] = rng.randint(1, 40000, (B, P))
+    ids[:, :, 2] = 49407
+    ids = jnp.array(ids)
+
+    model = full_oryon()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), rgb_a[:1], rgb_q[:1], ids[:1])
+    mp = MatchParams()
+
+    def pipeline(key, rgb_a, rgb_q, ids, depth_a, depth_q, camera):
+        out = model.apply(params, rgb_a, rgb_q, ids)
+        mask_a = (jax.nn.sigmoid(out.mask_a) > 0.5).astype(jnp.uint8)
+        mask_q = (jax.nn.sigmoid(out.mask_q) > 0.5).astype(jnp.uint8)
+        corrs = nn_correspondences_batch(out.featmap_a, out.featmap_q,
+                                         mask_a, mask_q, key, mp)
+        # scale featmap coords (192) to original depth frame (480x640)
+        ya = (corrs.yx[..., 0].astype(jnp.float32) * (480.0 / 192.0)).astype(jnp.int32)
+        xa = (corrs.yx[..., 1].astype(jnp.float32) * (640.0 / 192.0)).astype(jnp.int32)
+        yq = (corrs.yx[..., 2].astype(jnp.float32) * (480.0 / 192.0)).astype(jnp.int32)
+        xq = (corrs.yx[..., 3].astype(jnp.float32) * (640.0 / 192.0)).astype(jnp.int32)
+        pa = jax.vmap(lift_pcd_at)(depth_a, camera,
+                                   jnp.stack([ya, xa], -1)) / 1000.0
+        pq = jax.vmap(lift_pcd_at)(depth_q, camera,
+                                   jnp.stack([yq, xq], -1)) / 1000.0
+        keys = jax.random.split(key, B)
+        poses, inl = jax.vmap(
+            lambda k, a, b, v: ransac_kabsch(k, a, b, v, num_hypotheses=256,
+                                             match_err=0.005)
+        )(keys, pa, pq, corrs.valid.astype(jnp.float32))
+        return poses, inl
+
+    run = jax.jit(pipeline)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    out = run(key, rgb_a, rgb_q, ids, depth_a, depth_q, camera)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(i), rgb_a, rgb_q, ids, depth_a, depth_q, camera)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    pairs_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "e2e_image_pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PROXY_PAIRS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""PairBatch: the statically-shaped batch contract between data and compute.
+
+Replaces the reference's nested dict-of-tensors + ragged lists collate
+(reference: datasets.py:138-245 CollateWrapper).  Every field is a fixed-shape
+array; variable-size structures carry validity masks.  Being a NamedTuple it
+is a JAX pytree — shardable, donate-able, and scan-able as-is.
+
+Depth conventions follow the reference: ``depth`` is the (possibly resized)
+working depth, ``orig_depth`` the full-resolution depth used for lifting
+(pipeline.py:433), ``eval_depth`` the snapshot used by VSD
+(utils/data/common.py:40-71).  All in millimeters.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class PairView(NamedTuple):
+    rgb: jnp.ndarray          # [B, H, W, 3] float32 in [0, 1]
+    mask: jnp.ndarray         # [B, H, W] uint8 (oracle or external mask)
+    depth: jnp.ndarray        # [B, H, W] float32 mm (resized working depth)
+    orig_depth: jnp.ndarray   # [B, Ho, Wo] float32 mm (original resolution)
+    eval_depth: jnp.ndarray   # [B, Ho, Wo] float32 mm (VSD scene depth)
+    camera: jnp.ndarray       # [B, 9] flattened K (original resolution)
+    pose: jnp.ndarray         # [B, 4, 4] absolute object pose (meters)
+    size: jnp.ndarray         # [B, 2] original (H, W)
+
+
+class PairBatch(NamedTuple):
+    anchor: PairView
+    query: PairView
+    prompt_ids: jnp.ndarray   # [B, P, L] int32 tokenized prompt templates
+    corrs: jnp.ndarray        # [B, N, 4] int32 GT corrs (y1,x1,y2,x2) @ input res
+    corr_valid: jnp.ndarray   # [B, N] bool
+    valid: jnp.ndarray        # [B] float32 pair validity
+    rel_pose: jnp.ndarray     # [B, 4, 4] GT relative pose T_A->Q (meters)
+    cls_id: np.ndarray        # [B] host-side object class ids (not traced)
+    instance_id: np.ndarray   # [B] host-side instance tags (not traced)
+
+    @property
+    def batch_size(self) -> int:
+        return self.corrs.shape[0]
+
+
+def device_fields(batch: PairBatch):
+    """The jax-traced subset (drops host-side id arrays)."""
+    return batch._replace(cls_id=None, instance_id=None)

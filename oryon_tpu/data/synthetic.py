@@ -1,0 +1,143 @@
+"""Synthetic geometrically-consistent RGBD pair batches.
+
+Stands in for the real datasets in tests and benches (the reference datasets
+require downloaded REAL275/TOYL/ShapeNet6D archives).  Generates an "object"
+as a textured depth blob in the anchor view, rigidly transforms its point
+cloud by a random pose, reprojects into the query view, and records the
+resulting pixel correspondences — so matching, lifting, and registration see
+physically consistent data with a known GT relative pose.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from oryon_tpu.data.pair_batch import PairBatch, PairView
+
+DEFAULT_K = np.array([591.0125, 0, 322.525, 0, 590.16775, 244.11084, 0, 0, 1], np.float32)
+
+
+def _random_pose(rs: np.random.RandomState, max_angle: float = 0.5,
+                 max_shift: float = 0.08) -> np.ndarray:
+    axis = rs.randn(3)
+    axis /= np.linalg.norm(axis)
+    ang = rs.uniform(-max_angle, max_angle)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = rs.uniform(-max_shift, max_shift, 3)
+    return T
+
+
+def synthetic_pair(
+    rs: np.random.RandomState,
+    img_hw: Tuple[int, int] = (224, 224),
+    orig_hw: Tuple[int, int] = (480, 640),
+    n_corrs: int = 500,
+):
+    """One synthetic pair in numpy; returns dict of per-view arrays + GT."""
+    H, W = img_hw
+    OH, OW = orig_hw
+    K = DEFAULT_K.reshape(3, 3)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    # object = square patch at random position in the anchor original frame
+    oh, ow = rs.randint(80, 140), rs.randint(80, 140)
+    oy, ox = rs.randint(60, OH - 160), rs.randint(80, OW - 180)
+    depth_a = np.zeros((OH, OW), np.float32)
+    zs = 700.0 + 80.0 * rs.rand(oh, ow).astype(np.float32)
+    depth_a[oy:oy + oh, ox:ox + ow] = zs
+    mask_a_orig = (depth_a > 0).astype(np.uint8)
+    rgb_a = rs.rand(OH, OW, 3).astype(np.float32) * 0.3
+    tex = rs.rand(oh, ow, 3).astype(np.float32)
+    rgb_a[oy:oy + oh, ox:ox + ow] = tex
+
+    # lift object pixels, transform by GT pose (meters), reproject to query
+    ys, xs = np.nonzero(mask_a_orig)
+    z = depth_a[ys, xs] / 1000.0
+    pts = np.stack([(xs - cx) * z / fx, (ys - cy) * z / fy, z], 1)
+    T = _random_pose(rs)
+    ptsq = pts @ T[:3, :3].T + T[:3, 3]
+    u = np.clip(np.round(ptsq[:, 0] / ptsq[:, 2] * fx + cx).astype(int), 0, OW - 1)
+    v = np.clip(np.round(ptsq[:, 1] / ptsq[:, 2] * fy + cy).astype(int), 0, OH - 1)
+
+    depth_q = np.zeros((OH, OW), np.float32)
+    rgb_q = rs.rand(OH, OW, 3).astype(np.float32) * 0.3
+    mask_q_orig = np.zeros((OH, OW), np.uint8)
+    depth_q[v, u] = ptsq[:, 2] * 1000.0
+    rgb_q[v, u] = rgb_a[ys, xs]
+    mask_q_orig[v, u] = 1
+
+    # correspondences in ORIGINAL frame -> rescale to input frame
+    sel = rs.choice(len(ys), min(n_corrs, len(ys)), replace=False)
+    corr = np.stack([ys[sel], xs[sel], v[sel], u[sel]], 1).astype(np.float32)
+    corr[:, 0] *= H / OH
+    corr[:, 1] *= W / OW
+    corr[:, 2] *= H / OH
+    corr[:, 3] *= W / OW
+    corrs = np.zeros((n_corrs, 4), np.int32)
+    corrs[: len(sel)] = np.clip(corr, 0, [H - 1, W - 1, H - 1, W - 1]).astype(np.int32)
+    corr_valid = np.zeros(n_corrs, bool)
+    corr_valid[: len(sel)] = True
+
+    def down(img, hw):
+        # cheap stride resize for synthetic data (exactness irrelevant here)
+        sy = np.linspace(0, img.shape[0] - 1, hw[0]).astype(int)
+        sx = np.linspace(0, img.shape[1] - 1, hw[1]).astype(int)
+        return img[sy][:, sx]
+
+    pose_a = np.eye(4, dtype=np.float32)
+    pose_a[2, 3] = 0.75
+    return dict(
+        rgb_a=down(rgb_a, img_hw), rgb_q=down(rgb_q, img_hw),
+        mask_a=down(mask_a_orig, img_hw), mask_q=down(mask_q_orig, img_hw),
+        depth_a=down(depth_a, img_hw), depth_q=down(depth_q, img_hw),
+        orig_depth_a=depth_a, orig_depth_q=depth_q,
+        corrs=corrs, corr_valid=corr_valid,
+        rel_pose=T.astype(np.float32), pose_a=pose_a,
+        pose_q=(T @ pose_a).astype(np.float32),
+    )
+
+
+def synthetic_pair_batch(
+    seed: int = 0,
+    batch: int = 4,
+    img_hw: Tuple[int, int] = (224, 224),
+    orig_hw: Tuple[int, int] = (480, 640),
+    n_corrs: int = 500,
+    n_prompts: int = 8,
+    context_len: int = 77,
+    vocab: int = 49408,
+) -> PairBatch:
+    rs = np.random.RandomState(seed)
+    items = [synthetic_pair(rs, img_hw, orig_hw, n_corrs) for _ in range(batch)]
+
+    def stack(k):
+        return jnp.array(np.stack([it[k] for it in items]))
+
+    prompt_ids = np.zeros((batch, n_prompts, context_len), np.int32)
+    prompt_ids[:, :, 0] = vocab - 2
+    prompt_ids[:, :, 1] = rs.randint(1, min(vocab - 3, 400), (batch, n_prompts))
+    prompt_ids[:, :, 2] = vocab - 1
+
+    def view(side):
+        return PairView(
+            rgb=stack(f"rgb_{side}"), mask=stack(f"mask_{side}"),
+            depth=stack(f"depth_{side}"), orig_depth=stack(f"orig_depth_{side}"),
+            eval_depth=stack(f"orig_depth_{side}"),
+            camera=jnp.tile(jnp.array(DEFAULT_K)[None], (batch, 1)),
+            pose=stack(f"pose_{side}") if side == "q" else stack("pose_a"),
+            size=jnp.tile(jnp.array(orig_hw, jnp.int32)[None], (batch, 1)),
+        )
+
+    return PairBatch(
+        anchor=view("a"), query=view("q"),
+        prompt_ids=jnp.array(prompt_ids),
+        corrs=stack("corrs"), corr_valid=stack("corr_valid"),
+        valid=jnp.ones((batch,), jnp.float32),
+        rel_pose=stack("rel_pose"),
+        cls_id=np.arange(batch), instance_id=np.array([f"syn_{i}" for i in range(batch)]),
+    )

@@ -1,0 +1,258 @@
+"""Evaluator: metric registry, failure accounting, summaries, CSV output.
+
+Rebuilds reference utils/evaluator.py:82-433 with the same metric suite and
+bookkeeping semantics (phase-specific metric sets, automatic zero-metric
+failures, per-class + aggregate LaTeX rows, JSON dump) on top of the jnp
+metric kernels in eval/metrics.py, eval/bop.py, and eval/renderer.py.
+
+The prediction CSV format matches the reference byte layout
+(``id_a,id_q,<12 floats>,iou_a,iou_q`` — reference pipeline.py:490-497) so
+the reference's offline scorer (scripts/evaluation/compute_metrics.py) can
+cross-score this framework's outputs.
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence, TextIO
+
+import jax.numpy as jnp
+import numpy as np
+
+from oryon_tpu.eval.bop import (
+    mspd, mspd_recall, mssd, mssd_recall, vsd_errors, vsd_recall,
+)
+from oryon_tpu.eval.metrics import (
+    compute_add, compute_adds, rotation_translation_errors,
+)
+from oryon_tpu.eval.renderer import Mesh, render_depth
+from oryon_tpu.geometry.pcd import diameter
+
+
+class ObjectInfo:
+    """Per-class model data (reference add_object_info, evaluator.py:106-114)."""
+
+    def __init__(self, pts_mm: np.ndarray, diameter_mm: float,
+                 syms: np.ndarray, mesh: Optional[Mesh] = None):
+        self.pts = np.asarray(pts_mm, np.float32)       # [N, 3] mm
+        self.diameter = float(diameter_mm)
+        self.syms = np.asarray(syms, np.float32)        # [S, 3, 4]
+        self.mesh = mesh                                # for VSD rendering
+
+
+class Evaluator:
+    POSE_RECALL_TH = [(5, 10), (10, 20), (15, 30)]
+
+    def __init__(self, exp_tag: str, compute_vsd: bool = True,
+                 compute_iou: bool = True,
+                 vsd_delta: float = 15.0,
+                 render_hw=(480, 640)):
+        self.exp_tag = exp_tag
+        self.compute_vsd = compute_vsd
+        self.compute_iou = compute_iou
+        self.vsd_delta = vsd_delta
+        self.vsd_taus = list(np.arange(0.05, 0.51, 0.05))
+        self.render_hw = render_hw
+        self.objects: Dict = {}
+        self.metrics: Dict[str, List] = {}
+        self.counts: Dict[str, List] = {}
+
+    # -- object registry ---------------------------------------------------
+    def add_object_info(self, objects: Dict[object, ObjectInfo]) -> None:
+        self.objects.update(objects)
+
+    def get_obj_info(self, obj_id) -> ObjectInfo:
+        return self.objects[obj_id]
+
+    # -- phase init (reference evaluator.py:123-176) -----------------------
+    def clear(self):
+        self.metrics = {}
+        self.counts = {}
+
+    def init_training(self):
+        self.clear()
+        if self.compute_iou:
+            for k in ("Anchor IoU", "Query IoU", "Mean IoU",
+                      "IoU > .25", "IoU > .5", "IoU > .75"):
+                self.metrics[k] = []
+
+    def init_validation(self):
+        self.init_training()
+        for k in ("R error", "T error", "ADD(S)-0.1d", "MSSD", "MSPD"):
+            self.metrics[k] = []
+        if self.compute_vsd:
+            self.metrics["VSD"] = []
+            self.metrics["AR"] = []
+        for k in ("Missing segm", "Failed pose", "Zero pose"):
+            self.counts[k] = []
+        for r, t in self.POSE_RECALL_TH:
+            self.metrics[f"Recall ({r}deg, {t}cm)"] = []
+
+    def init_test(self):
+        self.init_validation()
+        self.metrics["instance_id"] = []
+        self.metrics["cls_id"] = []
+
+    # -- registration ------------------------------------------------------
+    def register_train(self, iou_a: np.ndarray, iou_q: np.ndarray):
+        if not self.compute_iou:
+            return
+        iou_a = np.atleast_1d(np.asarray(iou_a, np.float64))
+        iou_q = np.atleast_1d(np.asarray(iou_q, np.float64))
+        mean_iou = (iou_a + iou_q) / 2.0
+        self.metrics["Anchor IoU"].extend(iou_a.tolist())
+        self.metrics["Query IoU"].extend(iou_q.tolist())
+        self.metrics["Mean IoU"].extend(mean_iou.tolist())
+        self.metrics["IoU > .25"].extend((mean_iou > 0.25).astype(int).tolist())
+        self.metrics["IoU > .5"].extend((mean_iou > 0.5).astype(int).tolist())
+        self.metrics["IoU > .75"].extend((mean_iou > 0.75).astype(int).tolist())
+
+    def register_eval(
+        self,
+        iou_a, iou_q,
+        gt_pose: np.ndarray,        # [4,4] absolute query pose (m)
+        pred_pose: np.ndarray,      # [4,4] absolute predicted query pose (m)
+        pred_pose_rel: np.ndarray,  # [4,4] predicted relative pose (m)
+        cls_id,
+        camera: np.ndarray,         # [3,3]
+        depth: Optional[np.ndarray] = None,  # [H,W] scene depth (mm) for VSD
+    ):
+        """One pair (reference register_eval, evaluator.py:206-289)."""
+        self.register_train(iou_a, iou_q)
+        pred_pose = np.asarray(pred_pose, np.float32)
+        gt_pose = np.asarray(gt_pose, np.float32)
+        pred_pose_rel = np.asarray(pred_pose_rel, np.float32)
+
+        self.counts["Missing segm"].append(0)
+        zero_pose = int(np.count_nonzero(pred_pose_rel) <= 1)
+        failed_pose = int((pred_pose_rel == np.eye(4)).all())
+        self.counts["Failed pose"].append(failed_pose)
+        self.counts["Zero pose"].append(zero_pose)
+        if zero_pose:
+            pred_pose = np.eye(4, dtype=np.float32)
+
+        err_R, err_T = rotation_translation_errors(
+            jnp.asarray(pred_pose)[None], jnp.asarray(gt_pose)[None])
+        err_R, err_T = float(err_R[0]), float(err_T[0])
+        self.metrics["R error"].append(err_R)
+        self.metrics["T error"].append(err_T)
+        for r_th, t_th in self.POSE_RECALL_TH:
+            self.metrics[f"Recall ({r_th}deg, {t_th}cm)"].append(
+                float(err_R <= r_th and err_T <= t_th))
+
+        obj = self.get_obj_info(cls_id)
+        pts_m = obj.pts / 1000.0
+        add_diam = float(diameter(jnp.asarray(obj.pts))) / 1000.0
+        if obj.syms.shape[0] > 1:
+            adds = float(compute_adds(jnp.asarray(pts_m), jnp.asarray(pred_pose),
+                                      jnp.asarray(gt_pose)))
+        else:
+            adds = float(compute_add(jnp.asarray(pts_m), jnp.asarray(pred_pose),
+                                     jnp.asarray(gt_pose)))
+        self.metrics["ADD(S)-0.1d"].append(float(adds <= add_diam * 0.1))
+
+        # BOP metrics in millimeters
+        K = jnp.asarray(camera, jnp.float32)
+        pr, pt = jnp.asarray(pred_pose[:3, :3]), jnp.asarray(pred_pose[:3, 3] * 1000)
+        gr, gt_ = jnp.asarray(gt_pose[:3, :3]), jnp.asarray(gt_pose[:3, 3] * 1000)
+        syms = jnp.asarray(obj.syms)
+        pts = jnp.asarray(obj.pts)
+        mssd_err = mssd(pr, pt, gr, gt_, pts, syms)
+        mspd_err = mspd(pr, pt, gr, gt_, K, pts, syms)
+        mean_mssd = float(mssd_recall(mssd_err, obj.diameter))
+        mean_mspd = float(mspd_recall(mspd_err))
+        self.metrics["MSSD"].append(mean_mssd)
+        self.metrics["MSPD"].append(mean_mspd)
+
+        if self.compute_vsd:
+            assert depth is not None and obj.mesh is not None, \
+                "VSD needs the scene depth and the object mesh"
+            d_est = render_depth(obj.mesh, pr, pt, K, self.render_hw)
+            d_gt = render_depth(obj.mesh, gr, gt_, K, self.render_hw)
+            errs = vsd_errors(d_est, d_gt, jnp.asarray(depth, jnp.float32), K,
+                              self.vsd_delta, self.vsd_taus, obj.diameter)
+            mean_vsd = float(vsd_recall(errs))
+            self.metrics["VSD"].append(mean_vsd)
+            self.metrics["AR"].append((mean_mssd + mean_mspd + mean_vsd) / 3.0)
+
+    def register_test(self, *args, instance_id=None, cls_id=None, **kw):
+        self.register_eval(*args, cls_id=cls_id, **kw)
+        self.metrics["cls_id"].append(cls_id)
+        self.metrics["instance_id"].append(instance_id)
+
+    def register_valid_failure(self, iou_a, iou_q):
+        """Automatic zero-metric failure (reference evaluator.py:296-328)."""
+        self.metrics["R error"].append(0.0)
+        self.metrics["T error"].append(0.0)
+        self.metrics["ADD(S)-0.1d"].append(0.0)
+        if self.compute_vsd:
+            self.metrics["VSD"].append(0.0)
+            self.metrics["AR"].append(0.0)
+        self.metrics["MSSD"].append(0.0)
+        self.metrics["MSPD"].append(0.0)
+        if self.compute_iou:
+            iou_a = np.atleast_1d(np.asarray(iou_a, np.float64))
+            iou_q = np.atleast_1d(np.asarray(iou_q, np.float64))
+            self.metrics["Anchor IoU"].extend(iou_a.tolist())
+            self.metrics["Query IoU"].extend(iou_q.tolist())
+            self.metrics["Mean IoU"].append(0.0)
+            self.metrics["IoU > .25"].append(0.0)
+            self.metrics["IoU > .5"].append(0.0)
+            self.metrics["IoU > .75"].append(0.0)
+        self.counts["Missing segm"].append(1)
+        self.counts["Failed pose"].append(0)
+        self.counts["Zero pose"].append(0)
+        for r, t in self.POSE_RECALL_TH:
+            self.metrics[f"Recall ({r}deg, {t}cm)"].append(0)
+
+    def register_test_failure(self, iou_a, iou_q, cls_id=None, instance_id=None):
+        self.register_valid_failure(iou_a, iou_q)
+        self.metrics["cls_id"].append(cls_id)
+        self.metrics["instance_id"].append(instance_id)
+
+    # -- summaries ---------------------------------------------------------
+    def get_means(self) -> Dict[str, float]:
+        means = {}
+        for name, value in self.metrics.items():
+            if name not in ("cls_id", "instance_id") and len(value) > 0:
+                means[name] = float(np.asarray(value, np.float64).mean())
+        return means
+
+    def get_obj_means(self, cls_id) -> Dict[str, float]:
+        idxs = np.asarray([c == cls_id for c in self.metrics["cls_id"]])
+        means = {}
+        for name, value in self.metrics.items():
+            if name not in ("cls_id", "instance_id") and len(value) > 0:
+                means[name] = float(np.asarray(value, np.float64)[idxs].mean())
+        return means
+
+    def _latex_row(self, tag: str, means: Dict[str, float]) -> str:
+        if self.compute_vsd:
+            row = (f"{tag} & {means['AR']*100:.1f} & {means['VSD']*100:.1f} & "
+                   f"{means['MSSD']*100:.1f} & {means['MSPD']*100:.1f} & "
+                   f"{means['ADD(S)-0.1d']*100:.1f} &")
+        else:
+            row = (f"{tag} & - & - & {means['MSSD']*100:.1f} & "
+                   f"{means['MSPD']*100:.1f} & {means['ADD(S)-0.1d']*100:.1f} &")
+        row += f" {means['Mean IoU']*100:.1f} \\\\" if self.compute_iou else " - \\\\"
+        return row
+
+    def get_latex_str(self) -> str:
+        return self._latex_row(self.exp_tag, self.get_means())
+
+    def test_summary(self) -> List[str]:
+        rows = []
+        for cls_id in sorted(set(self.metrics["cls_id"]), key=str):
+            rows.append(self._latex_row(str(cls_id), self.get_obj_means(cls_id)))
+        return rows
+
+    def save(self, fp: TextIO) -> None:
+        out = dict(self.metrics)
+        out.update(self.counts)
+        json.dump(out, fp)
+
+
+def pred_pose_csv_line(id_a: str, id_q: str, iou_a: float, iou_q: float,
+                       pred_pose: np.ndarray) -> str:
+    """Reference CSV line (pipeline.py:490-497)."""
+    pose_str = " ".join(str(n) for n in np.asarray(pred_pose)[:3, :].flatten())
+    return ",".join([id_a, id_q, pose_str, str(iou_a), str(iou_q)]) + "\n"

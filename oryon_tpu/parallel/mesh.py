@@ -1,0 +1,57 @@
+"""Device-mesh layout and sharding helpers.
+
+The reference scales with single-node Lightning DDP + NCCL allreduce
+(reference: run_train.py:60-76).  The TPU-native equivalent is a
+`jax.sharding.Mesh` with a ``data`` axis over ICI: batches are sharded on
+axis 0, parameters are replicated, and XLA inserts the gradient all-reduce
+automatically when the jitted train step consumes sharded inputs with
+replicated parameter shardings.  An optional ``model`` axis is reserved for
+tensor-parallel experiments on the ViT encoder.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_data == -1:
+        n_data = len(devs) // n_model
+    use = np.asarray(devs[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place every array leaf of a pytree with axis-0 sharded over ``data``.
+
+    Leaves that are not jax/numpy arrays (host-side id fields) pass through.
+    """
+    sh = batch_sharding(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1 and not isinstance(x, (str, bytes)):
+            try:
+                return jax.device_put(x, sh)
+            except (ValueError, TypeError):
+                return x
+        return x
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicate_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,145 @@
+"""Training loop machinery: optimizer partition, schedules, jitted train step.
+
+Rebuilds the reference orchestration (reference: pipeline.py:100-192,
+run_train.py) TPU-first:
+  * AdamW on the TRAINABLE subtree only (fusion + decoder — reference
+    net.py:37-43) via optax.multi_transform; frozen towers get set_to_zero,
+    so optimizer state for 300M frozen CLIP/Swin params is never allocated;
+  * cosine LR decay to gamma*lr over the run (reference pipeline.py:132-136
+    CosineAnnealingLR semantics), stepped per optimizer step;
+  * one jitted train_step: forward + contrastive/mask loss + grad + update,
+    donated state, batch sharded over the ``data`` mesh axis (gradient
+    all-reduce inserted by XLA — the DDP replacement).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from oryon_tpu.data.pair_batch import PairBatch, device_fields
+from oryon_tpu.losses.feature_loss import FeatureLossConfig, feature_loss
+from oryon_tpu.models.oryon import OryonModel
+
+TRAINABLE_PREFIXES = ("fusion", "decoder")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    model: OryonModel = struct.field(pytree_node=False)
+    loss_cfg: FeatureLossConfig = struct.field(pytree_node=False)
+
+
+def trainable_label(path: Tuple, _leaf: Any) -> str:
+    """'train' for fusion/decoder subtrees, 'frozen' otherwise."""
+    for p in path:
+        key = getattr(p, "key", None)
+        if key in TRAINABLE_PREFIXES:
+            return "train"
+    return "frozen"
+
+
+def cosine_lr(base_lr: float, total_steps: int, gamma: float) -> optax.Schedule:
+    """Cosine from base_lr to gamma*base_lr over total_steps
+    (reference CosineAnnealingLR with eta_min=gamma*lr, pipeline.py:132-136)."""
+    floor = gamma * base_lr
+    amp = base_lr - floor
+
+    def sched(step):
+        t = jnp.clip(step / jnp.maximum(total_steps - 1, 1), 0.0, 1.0)
+        return floor + 0.5 * amp * (1.0 + jnp.cos(jnp.pi * t))
+
+    return sched
+
+
+def make_optimizer(
+    params: Any,
+    lr: float = 1e-3,
+    weight_decay: float = 5e-4,
+    total_steps: int = 10000,
+    gamma: float = 0.1,
+) -> optax.GradientTransformation:
+    labels = jax.tree_util.tree_map_with_path(trainable_label, params)
+    tx = optax.multi_transform(
+        {
+            "train": optax.adamw(cosine_lr(lr, total_steps, gamma),
+                                 weight_decay=weight_decay),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx
+
+
+def create_train_state(
+    model: OryonModel,
+    key: jax.Array,
+    sample_batch: PairBatch,
+    lr: float = 1e-3,
+    weight_decay: float = 5e-4,
+    total_steps: int = 10000,
+    gamma: float = 0.1,
+    loss_cfg: FeatureLossConfig = FeatureLossConfig(),
+) -> TrainState:
+    params = model.init(key, sample_batch.anchor.rgb, sample_batch.query.rgb,
+                        sample_batch.prompt_ids)
+    tx = make_optimizer(params, lr, weight_decay, total_steps, gamma)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        model=model,
+        loss_cfg=loss_cfg,
+    )
+
+
+def loss_and_metrics(model, loss_cfg, params, batch: PairBatch, key):
+    out = model.apply(params, batch.anchor.rgb, batch.query.rgb, batch.prompt_ids)
+    input_hw = tuple(batch.anchor.rgb.shape[1:3])
+    lo = feature_loss(
+        out.featmap_a, out.featmap_q, out.mask_a, out.mask_q,
+        batch.anchor.mask, batch.query.mask,
+        batch.corrs, batch.corr_valid, batch.valid,
+        input_hw, key, loss_cfg,
+    )
+    metrics = {
+        "loss/total": lo.total,
+        "loss/mask": lo.losses["mask"],
+        "loss/pos": lo.losses["pos"],
+        "loss/neg": lo.losses["neg"],
+        "metric/iou_a": jnp.mean(lo.iou_a),
+        "metric/iou_q": jnp.mean(lo.iou_q),
+    }
+    return lo.total, metrics
+
+
+def train_step(state: TrainState, batch: PairBatch, key: jax.Array):
+    """One optimization step; jit with donate_argnums=(0,) at call sites."""
+
+    def lf(p):
+        return loss_and_metrics(state.model, state.loss_cfg, p, batch, key)
+
+    (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+    return new_state, metrics
+
+
+def jit_train_step(donate: bool = True):
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def run(state: TrainState, batch: PairBatch, key: jax.Array):
+        return jitted(state, device_fields(batch), key)
+
+    return run

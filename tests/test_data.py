@@ -1,0 +1,218 @@
+"""Data-layer tests against generated on-disk fixtures (NOCS file formats)."""
+import json
+import os
+import pickle
+from os.path import join
+
+import numpy as np
+import pytest
+
+from oryon_tpu.data.augment import AugmentConfig, augment_pair
+from oryon_tpu.data.bop import sym_set_from_info, symmetry_transformations
+from oryon_tpu.data.datasets import (
+    NocsReader, PairDataset, sample_correspondences, unique_matches,
+)
+from oryon_tpu.data.meshio import load_obj, load_ply
+from oryon_tpu.models.tokenizer import ClipTokenizer
+
+
+# ---------------------------------------------------------------- fixtures
+@pytest.fixture(scope="module")
+def nocs_root(tmp_path_factory):
+    """Generate a miniature REAL275-format dataset tree."""
+    rs = np.random.RandomState(0)
+    root = str(tmp_path_factory.mktemp("nocs"))
+    from PIL import Image
+
+    H, W = 60, 80
+    obj_name = "mug_1"
+    scenes = [(1, 0), (1, 1), (2, 0)]
+    for scene, img in scenes:
+        d = join(root, "split/real_test", f"scene_{scene}")
+        os.makedirs(d, exist_ok=True)
+        base = join(d, f"{img:04d}")
+        rgb = (rs.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(base + "_color.png")
+        mask = np.full((H, W), 255, np.uint8)
+        mask[20:40, 30:50] = 7  # mask id 7
+        Image.fromarray(mask).save(base + "_mask.png")
+        depth = (rs.rand(H, W) * 1000 + 500).astype(np.uint16)
+        Image.fromarray(depth).save(base + "_depth.png")
+        with open(base + "_meta.txt", "w") as f:
+            f.write(f"7 3 {obj_name}\n")
+        with open(base + "_detection.txt", "w") as f:
+            f.write("7 30 20 20 20\n")
+
+    os.makedirs(join(root, "gts", "real_test"), exist_ok=True)
+    for scene, img in scenes:
+        pose = np.eye(4)
+        pose[:3, 3] = [0.1 * scene, 0, 0.8]
+        with open(join(root, "gts", "real_test", f"results_real_test_{scene}_{img}.pkl"), "wb") as f:
+            pickle.dump({"gt_RTs": np.array([pose])}, f)
+
+    with open(join(root, "obj_names.json"), "w") as f:
+        json.dump({obj_name: ["mug", "cup", "coffee mug"]}, f)
+    with open(join(root, "templates.json"), "w") as f:
+        json.dump(["a photo of a {}", "a picture of a {}", "one {} in the scene"], f)
+
+    # object model files
+    od = join(root, "obj_models", "real_test")
+    os.makedirs(od, exist_ok=True)
+    V = np.array([[0, 0, 0], [0.05, 0, 0], [0, 0.05, 0], [0, 0, 0.05]])
+    F = np.array([[1, 2, 3], [1, 2, 4], [1, 3, 4], [2, 3, 4]])
+    np.savetxt(join(od, obj_name + "_vertices.txt"), V, fmt="%.6f")
+    np.savetxt(join(od, obj_name + "_normals.txt"), V, fmt="%.6f")
+    with open(join(od, obj_name + ".obj"), "w") as f:
+        for v in V:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for face in F:
+            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+    with open(join(od, "models_info.json"), "w") as f:
+        json.dump({obj_name: {"diameter": 86.6}}, f)
+
+    # fixed split: 2 pairs
+    sp = join(root, "fixed_split", "test_split")
+    os.makedirs(sp, exist_ok=True)
+    annots = {}
+    lines = []
+    rel = np.eye(4)
+    rel[:3, 3] = [100.0, 0, 0]  # mm
+    for (sa, ia), (sq, iq) in [((1, 0), (1, 1)), ((1, 0), (2, 0))]:
+        lines.append(f"test, {sa} {ia}, {sq} {iq}, 3 {obj_name}\n")
+        corrs = np.stack([
+            rs.randint(20, 40, 40), rs.randint(30, 50, 40),
+            rs.randint(20, 40, 40), rs.randint(30, 50, 40)], 1)
+        annots[f"{sa}_{ia}_{sq}_{iq}_3_{obj_name}"] = {"gt": rel.copy(), "corrs": corrs}
+    with open(join(sp, "instance_list.txt"), "w") as f:
+        f.writelines(lines)
+    with open(join(sp, "annots.pkl"), "wb") as f:
+        pickle.dump(annots, f)
+    return root
+
+
+# ---------------------------------------------------------------- tests
+def test_unique_matches():
+    c = np.array([[1, 2, 3, 4], [1, 2, 3, 4], [5, 6, 7, 8]])
+    u = unique_matches(c)
+    assert u.shape == (2, 4)
+
+
+def test_sample_correspondences_capacity(rng):
+    rs = np.random.RandomState(0)
+    corrs = rng.randint(0, 100, (30, 4))
+    out, val, ok = sample_correspondences(rs, corrs, 64)
+    assert ok and val.sum() <= 30 and out.shape == (64, 4)
+    out2, val2, ok2 = sample_correspondences(rs, np.zeros((0, 4)), 64)
+    assert not ok2 and not val2.any()
+
+
+def test_nocs_reader_item(nocs_root):
+    r = NocsReader(nocs_root)
+    item = r.get_item(1, 0, "mug_1")
+    assert item["rgb"].shape == (60, 80, 3) and item["rgb"].max() <= 1.0
+    assert item["mask"].sum() == 400  # the 20x20 mask-id-7 region
+    assert item["pose"][2, 3] == pytest.approx(0.8)
+    assert item["cls_name"] == "mug"
+
+
+def test_nocs_object_info(nocs_root):
+    r = NocsReader(nocs_root)
+    info = r.object_info(max_edge=10.0)
+    obj = info["mug_1"]
+    assert obj.pts.shape[1] == 3 and obj.pts.max() <= 51  # meters->mm
+    assert obj.diameter == 86.6
+    assert obj.syms.shape == (1, 3, 4)  # identity only
+    assert obj.mesh is not None
+
+
+def test_pair_dataset_batches(nocs_root):
+    tok = ClipTokenizer()
+    ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                     max_corrs=64, img_size=(56, 56), n_prompts=4)
+    assert len(ds) == 2
+    batches = list(ds.batches(batch_size=2))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.anchor.rgb.shape == (2, 56, 56, 3)
+    assert b.anchor.mask.shape == (2, 56, 56)
+    assert b.corrs.shape == (2, 64, 4)
+    assert b.prompt_ids.shape == (2, 3, 77)
+    assert b.valid.sum() == 2
+    assert b.rel_pose.shape == (2, 4, 4)
+    # relative pose converted mm -> m
+    assert float(b.rel_pose[0, 0, 3]) == pytest.approx(0.1)
+    # corrs rescaled into the 56x56 frame
+    valid_corrs = np.asarray(b.corrs[0])[np.asarray(b.corr_valid[0])]
+    assert valid_corrs.max() < 56
+
+
+def test_pair_dataset_pads_last_batch(nocs_root):
+    tok = ClipTokenizer()
+    ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                     max_corrs=16, img_size=(56, 56), n_prompts=3)
+    batches = list(ds.batches(batch_size=4))
+    b = batches[0]
+    assert b.anchor.rgb.shape[0] == 4
+    assert float(b.valid.sum()) == 2.0  # two real pairs, two invalid pads
+
+
+def test_augment_pair_flip_consistency(rng):
+    H, W = 40, 48
+    item_a = {"rgb": rng.rand(H, W, 3).astype(np.float32),
+              "mask": (rng.rand(H, W) > 0.7).astype(np.uint8),
+              "depth": rng.rand(H, W).astype(np.float32)}
+    item_q = {k: v.copy() for k, v in item_a.items()}
+    # a distinctive pixel to track through the flip
+    item_a["rgb"][10, 5] = [9.0, 9.0, 9.0]
+    corrs = np.array([[10, 5, 10, 5]], np.float64)
+    cfg = AugmentConfig(jitter=False, bright=False, hflip=True, vflip=False,
+                        prob=1.0, out_size=(H, W))
+    rs = np.random.RandomState(0)
+    a2, q2, c2 = augment_pair(rs, item_a, item_q, corrs, cfg)
+    y1, x1 = int(round(c2[0, 0])), int(round(c2[0, 1]))
+    assert a2["rgb"][y1, x1, 0] == pytest.approx(9.0, abs=1e-5)
+
+
+def test_symmetry_expansion_continuous():
+    info = {"diameter": 100.0,
+            "symmetries_continuous": [{"axis": [0, 0, 1], "offset": [0, 0, 0]}]}
+    syms = sym_set_from_info(info, 0.5)   # pi/0.5 -> 7 steps
+    assert syms.shape[0] == 7
+    # all are rotations about z: last row of R = [0,0,1]
+    np.testing.assert_allclose(syms[:, 2, :3], np.tile([0, 0, 1], (7, 1)), atol=1e-9)
+
+
+def test_symmetry_discrete():
+    m = np.eye(4)
+    m[0, 0] = m[1, 1] = -1
+    info = {"symmetries_discrete": [m.flatten().tolist()]}
+    syms = sym_set_from_info(info)
+    assert syms.shape[0] == 2
+    np.testing.assert_allclose(syms[0, :3, :3], np.eye(3))
+
+
+def test_ply_roundtrip(tmp_path):
+    path = str(tmp_path / "m.ply")
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                "element vertex 3\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property float nx\nproperty float ny\nproperty float nz\n"
+                "element face 1\n"
+                "property list uchar int vertex_indices\n"
+                "end_header\n"
+                "0 0 0 0 0 1\n1 0 0 0 0 1\n0 1 0 0 0 1\n"
+                "3 0 1 2\n")
+    from oryon_tpu.data.meshio import load_bop_object
+    m = load_bop_object(path)
+    assert m["pts"].shape == (3, 3)
+    assert m["faces"].shape == (1, 3)
+    np.testing.assert_allclose(m["normals"][:, 2], 1.0)
+
+
+def test_obj_loader(tmp_path):
+    path = str(tmp_path / "m.obj")
+    with open(path, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/1 2/2 3/3\n")
+    V, F = load_obj(path)
+    assert V.shape == (3, 3) and F.tolist() == [[0, 1, 2]]

@@ -1,0 +1,189 @@
+"""Loss goldens + training-step integration on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oryon_tpu.losses import dice_loss, bce_loss, focal_loss, lovasz_hinge
+from oryon_tpu.losses.feature_loss import FeatureLossConfig, feature_loss
+from oryon_tpu.data.synthetic import synthetic_pair_batch
+from oryon_tpu.models.oryon import tiny_oryon
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _sigmoid(x):
+    return 1 / (1 + np.exp(-x))
+
+
+def test_bce_matches_numpy(rng):
+    x = rng.randn(2, 8, 8).astype(np.float32)
+    t = (rng.rand(2, 8, 8) > 0.5).astype(np.float32)
+    got = float(bce_loss(jnp.array(x), jnp.array(t)))
+    p = _sigmoid(x)
+    ref = -(t * np.log(p) + (1 - t) * np.log(1 - p)).mean()
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_dice_perfect_prediction_low_loss():
+    t = np.zeros((1, 16, 16), np.float32)
+    t[0, 4:12, 4:12] = 1
+    logits = (t * 2 - 1) * 20.0  # saturated correct logits
+    loss_good = float(dice_loss(jnp.array(logits), jnp.array(t)))
+    loss_bad = float(dice_loss(jnp.array(-logits), jnp.array(t)))
+    # the reference dice formula has no factor-2 numerator (utils/losses/
+    # dice.py:33-34), so a perfect prediction floors at ~0.25, not 0
+    assert loss_good == pytest.approx(0.25, abs=0.02)
+    assert loss_bad > 0.45
+    assert loss_good < loss_bad
+
+
+def test_dice_matches_reference_formula(rng):
+    """Golden: reference 2-class softmax dice (smooth=1, p=2, w=0.5/0.5, /2)."""
+    x = rng.randn(2, 6, 6).astype(np.float32)
+    t = (rng.rand(2, 6, 6) > 0.5).astype(np.float32)
+    p_fg = _sigmoid(2 * x).reshape(2, -1)
+    p_bg = (1 - _sigmoid(2 * x)).reshape(2, -1)
+    tf = t.reshape(2, -1)
+
+    def bdice(p, tt):
+        num = (p * tt).sum(1) + 1
+        den = (p ** 2 + tt ** 2).sum(1) + 1
+        return (1 - num / den).mean()
+
+    ref = (0.5 * bdice(p_fg, tf) + 0.5 * bdice(p_bg, 1 - tf)) / 2
+    got = float(dice_loss(jnp.array(x), jnp.array(t)))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_focal_matches_formula(rng):
+    x = rng.randn(1, 8, 8).astype(np.float32)
+    t = (rng.rand(1, 8, 8) > 0.5).astype(np.float32)
+    p = _sigmoid(x)
+    ce = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+    p_t = p * t + (1 - p) * (1 - t)
+    ref = ((0.25 * t + 0.75 * (1 - t)) * ce * (1 - p_t) ** 2).mean()
+    got = float(focal_loss(jnp.array(x), jnp.array(t)))
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_lovasz_perfect_vs_wrong():
+    t = np.zeros((1, 10, 10), np.float32)
+    t[0, :5] = 1
+    logits = (t * 2 - 1) * 10
+    assert float(lovasz_hinge(jnp.array(logits), jnp.array(t))) < 1e-3
+    assert float(lovasz_hinge(jnp.array(-logits), jnp.array(t))) > 0.5
+
+
+def _loss_inputs(rng, B=2, H=32, W=32, D=16, N=20):
+    fa = rng.randn(B, H, W, D).astype(np.float32)
+    fq = rng.randn(B, H, W, D).astype(np.float32)
+    corrs = rng.randint(0, 64, (B, N, 4)).astype(np.int32)  # input res 64
+    cv = np.ones((B, N), bool)
+    sv = np.ones((B,), np.float32)
+    gm = (rng.rand(B, 64, 64) > 0.5).astype(np.uint8)
+    ml = rng.randn(B, H, W).astype(np.float32)
+    return fa, fq, ml, gm, corrs, cv, sv
+
+
+def test_feature_loss_perfect_match_zero_pos_loss(rng):
+    B, H, W, D, N = 2, 32, 32, 16, 20
+    fa = rng.randn(B, H, W, D).astype(np.float32)
+    corrs = np.zeros((B, N, 4), np.int32)
+    ys = rng.randint(0, 64, (B, N, 2))
+    corrs[..., :2] = ys
+    corrs[..., 2:] = ys  # identical coords
+    fq = fa.copy()       # identical features -> dist_pos = 0
+    cv = np.ones((B, N), bool)
+    sv = np.ones((B,), np.float32)
+    gm = np.ones((B, 64, 64), np.uint8)
+    ml = np.full((B, H, W), 10.0, np.float32)
+    out = feature_loss(jnp.array(fa), jnp.array(fq), jnp.array(ml), jnp.array(ml),
+                       jnp.array(gm), jnp.array(gm), jnp.array(corrs), jnp.array(cv),
+                       jnp.array(sv), (64, 64), KEY)
+    assert float(out.losses["pos"]) == pytest.approx(0.0, abs=1e-6)
+    assert float(out.losses["mask"]) < 0.13  # dice floor (no factor-2 numerator)
+    assert float(np.asarray(out.iou_a).mean()) == pytest.approx(1.0)
+
+
+def test_feature_loss_invalid_samples_ignored(rng):
+    fa, fq, ml, gm, corrs, cv, sv = _loss_inputs(rng)
+    out_all = feature_loss(jnp.array(fa), jnp.array(fq), jnp.array(ml), jnp.array(ml),
+                           jnp.array(gm), jnp.array(gm), jnp.array(corrs), jnp.array(cv),
+                           jnp.array(sv), (64, 64), KEY)
+    # invalidate sample 1: loss must equal single-sample loss of sample 0
+    sv2 = np.array([1.0, 0.0], np.float32)
+    out_sv = feature_loss(jnp.array(fa), jnp.array(fq), jnp.array(ml), jnp.array(ml),
+                          jnp.array(gm), jnp.array(gm), jnp.array(corrs), jnp.array(cv),
+                          jnp.array(sv2), (64, 64), KEY)
+    out_single = feature_loss(jnp.array(fa[:1]), jnp.array(fq[:1]), jnp.array(ml[:1]),
+                              jnp.array(ml[:1]), jnp.array(gm[:1]), jnp.array(gm[:1]),
+                              jnp.array(corrs[:1]), jnp.array(cv[:1]),
+                              jnp.array(sv2[:1]), (64, 64), KEY)
+    assert float(out_sv.losses["pos"]) == pytest.approx(float(out_single.losses["pos"]), rel=1e-4)
+    assert float(out_sv.losses["pos"]) != pytest.approx(float(out_all.losses["pos"]), rel=1e-3)
+
+
+def test_hardest_negatives_respect_kernel(rng):
+    """Negatives must come from outside the neg_kernel radius: construct a
+    featmap where the only similar features are adjacent pixels — the neg
+    loss then must not use them."""
+    B, H, W, D, N = 1, 32, 32, 8, 4
+    fa = rng.randn(B, H, W, D).astype(np.float32)
+    corrs = np.array([[[4, 4, 4, 4], [10, 10, 10, 10], [20, 20, 20, 20], [28, 28, 28, 28]]], np.int32) * 2
+    cfg = FeatureLossConfig(neg_kernel=5.0, neg_pool=1024)
+    out = feature_loss(jnp.array(fa), jnp.array(fa), jnp.zeros((B, H, W)),
+                       jnp.zeros((B, H, W)), jnp.ones((B, 64, 64), jnp.uint8),
+                       jnp.ones((B, 64, 64), jnp.uint8), jnp.array(corrs),
+                       jnp.ones((B, N), bool), jnp.ones((B,), jnp.float32),
+                       (64, 64), KEY, cfg)
+    assert np.isfinite(float(out.total))
+
+
+def test_train_step_decreases_loss_and_updates_only_trainable():
+    from oryon_tpu.train import create_train_state, jit_train_step
+    model = tiny_oryon()
+    batch = synthetic_pair_batch(seed=0, batch=2, img_hw=(28, 28), n_corrs=32,
+                                 n_prompts=2, context_len=16, vocab=600)
+    state = create_train_state(model, KEY, batch, lr=3e-4, total_steps=50)
+    step = jit_train_step(donate=False)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss/total"]))
+    assert losses[-1] < losses[0]
+    # frozen towers unchanged, fusion/decoder changed
+    flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    changed_trainable = False
+    for (path, a), (_, b) in zip(flat0, flat1):
+        name = "/".join(str(getattr(p, "key", "")) for p in path)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        if any(t in name for t in ("vlm_visual", "vlm_text", "guidance/")):
+            assert diff == 0.0, f"frozen param changed: {name}"
+        if ("fusion" in name or "decoder" in name) and diff > 0:
+            changed_trainable = True
+    assert changed_trainable
+
+
+def test_train_step_on_8_device_mesh():
+    """DP: batch sharded over the data axis, params replicated."""
+    from oryon_tpu.train import create_train_state, train_step
+    from oryon_tpu.parallel import make_mesh, shard_batch, replicate
+    assert len(jax.devices()) == 8
+    model = tiny_oryon()
+    batch = synthetic_pair_batch(seed=1, batch=8, img_hw=(28, 28), n_corrs=32,
+                                 n_prompts=2, context_len=16, vocab=600)
+    state = create_train_state(model, KEY, batch, lr=3e-4, total_steps=50)
+    mesh = make_mesh(n_data=8)
+    dbatch = batch._replace(cls_id=None, instance_id=None)
+    sbatch = shard_batch(dbatch, mesh)
+    sstate = replicate(state, mesh)
+    step = jax.jit(train_step)
+    new_state, metrics = step(sstate, sbatch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss/total"]))
+    # sharded-run loss must match single-device loss on the same batch
+    new_state2, metrics2 = jax.jit(train_step)(state, dbatch, jax.random.PRNGKey(0))
+    assert float(metrics["loss/total"]) == pytest.approx(
+        float(metrics2["loss/total"]), rel=1e-3)

@@ -1,0 +1,173 @@
+"""Depth rasterizer + evaluator integration tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oryon_tpu.eval.renderer import Mesh, pad_mesh, render_depth, max_screen_footprint
+from oryon_tpu.eval.evaluator import Evaluator, ObjectInfo, pred_pose_csv_line
+
+K = np.array([[500.0, 0, 64], [0, 500.0, 64], [0, 0, 1]], np.float32)
+HW = (128, 128)
+
+
+def make_quad(z=500.0, half=20.0):
+    """Two triangles forming a square at depth z (mm), centered on axis."""
+    V = np.array([
+        [-half, -half, 0], [half, -half, 0], [half, half, 0], [-half, half, 0],
+    ], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return pad_mesh(V, F, max_edge=10.0)
+
+
+def icosphere(n=1.0, r=30.0):
+    """Crude tessellated sphere via subdivided octahedron."""
+    verts = [[r, 0, 0], [-r, 0, 0], [0, r, 0], [0, -r, 0], [0, 0, r], [0, 0, -r]]
+    faces = [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+             [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]]
+    V, F = np.array(verts, np.float32), np.array(faces, np.int32)
+    for _ in range(3):
+        newF = []
+        V = V.tolist()
+        cache = {}
+        def mid(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = (np.array(V[i]) + np.array(V[j])) / 2
+                m = m / np.linalg.norm(m) * r
+                cache[key] = len(V)
+                V.append(m.tolist())
+            return cache[key]
+        for a, b, c in F:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            newF += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        V, F = np.array(V, np.float32), np.array(newF, np.int32)
+    return V, F
+
+
+def test_quad_depth_values():
+    mesh = make_quad()
+    R = jnp.eye(3)
+    t = jnp.array([0.0, 0.0, 500.0])
+    d = np.asarray(render_depth(mesh, R, t, jnp.array(K), HW))
+    # center pixel hits the quad at exactly 500mm
+    assert d[64, 64] == pytest.approx(500.0, rel=1e-4)
+    # footprint: half=20mm at z=500 with f=500 -> 20px half-width
+    assert d[64, 64 + 18] > 0 and d[64, 64 + 25] == 0
+    assert d[5, 5] == 0.0
+    # no garbage values
+    nz = d[d > 0]
+    assert nz.min() > 499 and nz.max() < 501
+
+
+def test_quad_translated_depth():
+    mesh = make_quad()
+    R = jnp.eye(3)
+    t = jnp.array([10.0, -5.0, 800.0])
+    d = np.asarray(render_depth(mesh, R, t, jnp.array(K), HW))
+    u = int(10 / 800 * 500 + 64)
+    v = int(-5 / 800 * 500 + 64)
+    assert d[v, u] == pytest.approx(800.0, rel=1e-3)
+
+
+def test_sphere_depth_profile():
+    V, F = icosphere()
+    mesh = pad_mesh(V, F)
+    R = jnp.eye(3)
+    t = jnp.array([0.0, 0.0, 400.0])
+    fp = float(max_screen_footprint(mesh, R, t, jnp.array(K)))
+    assert fp < 16, f"triangle footprint {fp}px exceeds tile"
+    d = np.asarray(render_depth(mesh, R, t, jnp.array(K), HW))
+    # nearest point of the sphere: 400 - 30 = 370mm at the center
+    assert d[64, 64] == pytest.approx(370.0, rel=5e-3)
+    # silhouette radius: r*f/sqrt(z^2-r^2) ~ 37.6 px
+    row = d[64]
+    width = np.count_nonzero(row)
+    assert 2 * 33 < width < 2 * 42
+    # z-buffer: front surface only — depths within [370, 400+slack]
+    nz = d[d > 0]
+    assert nz.min() >= 369 and nz.max() <= 402
+
+
+def test_zbuffer_occlusion():
+    # two quads: the nearer one must win everywhere they overlap
+    V1 = np.array([[-20, -20, 0], [20, -20, 0], [20, 20, 0], [-20, 20, 0]], np.float32)
+    F1 = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    V = np.concatenate([V1 + [0, 0, 500], V1 + [0, 0, 450]])
+    F = np.concatenate([F1, F1 + 4]).astype(np.int32)
+    mesh = pad_mesh(V, F, max_edge=10.0)
+    d = np.asarray(render_depth(mesh, jnp.eye(3), jnp.zeros(3), jnp.array(K), HW))
+    assert d[64, 64] == pytest.approx(450.0, rel=1e-4)
+
+
+def test_behind_camera_culled():
+    mesh = make_quad()
+    d = np.asarray(render_depth(mesh, jnp.eye(3), jnp.array([0.0, 0.0, -500.0]),
+                                jnp.array(K), HW))
+    assert (d == 0).all()
+
+
+def _make_evaluator(compute_vsd=True):
+    ev = Evaluator("test", compute_vsd=compute_vsd)
+    V, F = icosphere()
+    mesh = pad_mesh(V, F)
+    pts = V[np.random.RandomState(0).choice(len(V), 200)]
+    syms = np.eye(3, 4, dtype=np.float32)[None]
+    ev.add_object_info({"sphere": ObjectInfo(pts, 60.0, syms, mesh)})
+    return ev, mesh
+
+
+def test_evaluator_perfect_pose_scores():
+    ev, mesh = _make_evaluator()
+    ev.init_test()
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, 3] = [0, 0, 0.4]  # meters
+    depth = np.asarray(render_depth(mesh, jnp.eye(3), jnp.array([0, 0, 400.0]),
+                                    jnp.array(K), HW))
+    ev.render_hw = HW
+    ev.register_test(1.0, 1.0, gt, gt, gt, camera=K, depth=depth,
+                     cls_id="sphere", instance_id="i0")
+    m = ev.get_means()
+    assert m["AR"] == pytest.approx(1.0)
+    assert m["VSD"] == pytest.approx(1.0)
+    assert m["MSSD"] == 1.0 and m["MSPD"] == 1.0
+    assert m["ADD(S)-0.1d"] == 1.0
+    assert m["R error"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_evaluator_bad_pose_scores_low():
+    ev, mesh = _make_evaluator()
+    ev.init_test()
+    ev.render_hw = HW
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, 3] = [0, 0, 0.4]
+    bad = gt.copy()
+    bad[:3, 3] += [0.3, 0.0, 0.0]  # 30 cm off
+    depth = np.asarray(render_depth(mesh, jnp.eye(3), jnp.array([0, 0, 400.0]),
+                                    jnp.array(K), HW))
+    ev.register_test(0.5, 0.5, gt, bad, bad, camera=K, depth=depth,
+                     cls_id="sphere", instance_id="i1")
+    m = ev.get_means()
+    assert m["AR"] < 0.1
+    assert m["ADD(S)-0.1d"] == 0.0
+    assert m["T error"] == pytest.approx(30.0, rel=1e-3)
+
+
+def test_evaluator_failure_bookkeeping():
+    ev, _ = _make_evaluator(compute_vsd=False)
+    ev.init_test()
+    ev.register_test_failure(0.0, 0.0, cls_id="sphere", instance_id="f0")
+    m = ev.get_means()
+    assert m["MSSD"] == 0.0 and m["ADD(S)-0.1d"] == 0.0
+    assert ev.counts["Missing segm"] == [1]
+    latex = ev.get_latex_str()
+    assert "test &" in latex and latex.endswith("\\\\")
+
+
+def test_csv_line_format():
+    pose = np.arange(16, dtype=np.float32).reshape(4, 4)
+    line = pred_pose_csv_line("s1 i1 obj", "s2 i2 obj", 0.5, 0.75, pose)
+    parts = line.strip().split(",")
+    assert len(parts) == 5
+    assert len(parts[2].split(" ")) == 12
+    assert parts[3] == "0.5" and parts[4] == "0.75"
