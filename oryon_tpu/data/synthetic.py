@@ -45,10 +45,18 @@ def synthetic_pair(
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
     # object = square patch at random position in the anchor original frame
-    oh, ow = rs.randint(80, 140), rs.randint(80, 140)
-    oy, ox = rs.randint(60, OH - 160), rs.randint(80, OW - 180)
+    # (sizes/margins proportional to the frame so small frames work too)
+    oh = rs.randint(OH // 5, OH // 3)
+    ow = rs.randint(OW // 5, OW // 3)
+    oy = rs.randint(OH // 8, OH - oh - OH // 8)
+    ox = rs.randint(OW // 8, OW - ow - OW // 8)
     depth_a = np.zeros((OH, OW), np.float32)
-    zs = 700.0 + 80.0 * rs.rand(oh, ow).astype(np.float32)
+    # smooth surface (gradients ~1 mm/px) so pixel-rounding of correspondence
+    # coordinates stays geometrically consistent
+    ry = np.arange(oh, dtype=np.float32)[:, None]
+    rx = np.arange(ow, dtype=np.float32)[None, :]
+    zs = (700.0 + 25.0 * np.sin(ry / 25.0) + 20.0 * np.cos(rx / 30.0)
+          + 0.4 * ry + 0.3 * rx).astype(np.float32)
     depth_a[oy:oy + oh, ox:ox + ow] = zs
     mask_a_orig = (depth_a > 0).astype(np.uint8)
     rgb_a = rs.rand(OH, OW, 3).astype(np.float32) * 0.3
@@ -59,20 +67,40 @@ def synthetic_pair(
     ys, xs = np.nonzero(mask_a_orig)
     z = depth_a[ys, xs] / 1000.0
     pts = np.stack([(xs - cx) * z / fx, (ys - cy) * z / fy, z], 1)
-    T = _random_pose(rs)
-    ptsq = pts @ T[:3, :3].T + T[:3, 3]
-    u = np.clip(np.round(ptsq[:, 0] / ptsq[:, 2] * fx + cx).astype(int), 0, OW - 1)
-    v = np.clip(np.round(ptsq[:, 1] / ptsq[:, 2] * fy + cy).astype(int), 0, OH - 1)
+    # resample the pose until the transformed object stays in frame
+    for attempt in range(20):
+        T = _random_pose(rs, max_angle=0.5 / (1 + attempt * 0.2),
+                         max_shift=0.08 / (1 + attempt * 0.3))
+        ptsq = pts @ T[:3, :3].T + T[:3, 3]
+        uf = ptsq[:, 0] / ptsq[:, 2] * fx + cx
+        vf = ptsq[:, 1] / ptsq[:, 2] * fy + cy
+        in_frame = ((uf >= 1) & (uf < OW - 1) & (vf >= 1) & (vf < OH - 1)).mean()
+        if in_frame > 0.9:
+            break
+    u = np.clip(np.round(uf).astype(int), 0, OW - 1)
+    v = np.clip(np.round(vf).astype(int), 0, OH - 1)
 
-    depth_q = np.zeros((OH, OW), np.float32)
+    depth_q = np.full((OH, OW), np.inf, np.float32)
     rgb_q = rs.rand(OH, OW, 3).astype(np.float32) * 0.3
     mask_q_orig = np.zeros((OH, OW), np.uint8)
-    depth_q[v, u] = ptsq[:, 2] * 1000.0
+    zq_mm = ptsq[:, 2] * 1000.0
+    # z-buffered 3x3 splat: dense query depth without scatter holes, nearest
+    # surface wins where the transformed object self-occludes
+    for dv in (-1, 0, 1):
+        for du in (-1, 0, 1):
+            vv = np.clip(v + dv, 0, OH - 1)
+            uu = np.clip(u + du, 0, OW - 1)
+            np.minimum.at(depth_q, (vv, uu), zq_mm)
+            mask_q_orig[vv, uu] = 1
     rgb_q[v, u] = rgb_a[ys, xs]
-    mask_q_orig[v, u] = 1
+    depth_q = np.where(np.isinf(depth_q), 0.0, depth_q)
 
-    # correspondences in ORIGINAL frame -> rescale to input frame
-    sel = rs.choice(len(ys), min(n_corrs, len(ys)), replace=False)
+    # correspondences only for CO-VISIBLE points (the reference builds GT
+    # corrs by 3D-NN at 2mm between lifted clouds, make_nocs_test.py:47-86,
+    # which likewise excludes self-occluded points)
+    visible = np.abs(depth_q[v, u] - zq_mm) < 2.0
+    vis_idx = np.nonzero(visible)[0]
+    sel = rs.choice(vis_idx, min(n_corrs, len(vis_idx)), replace=False)
     corr = np.stack([ys[sel], xs[sel], v[sel], u[sel]], 1).astype(np.float32)
     corr[:, 0] *= H / OH
     corr[:, 1] *= W / OW

@@ -1,0 +1,236 @@
+"""End-to-end inference pipeline: forward -> match -> lift -> solve -> score.
+
+Rebuilds the reference test path (reference: pipeline.py:306-497 test_step +
+get_featmap_corrs + get_pose) as ONE jitted, batched device program plus a
+thin host loop for the evaluator:
+
+  reference                               this framework
+  ---------                               --------------
+  per-sample Python loop over the batch   vmapped batch program
+  nn_correspondences on CPU               streaming MXU argmin (ops/matching)
+  per-pair PointDSC / numpy RANSAC        vmapped PointDSC / parallel RANSAC
+  masks resized per sample (F.interpolate) batched nearest resize
+  metric kernels in numpy per pair        evaluator on jnp kernels
+
+Mask-source selection mirrors configs: 'predicted' thresholds the decoder
+logits; 'oracle'/'ovseg' use the external masks resized to the featmap frame
+(reference pipeline.py:377-394, 407-414).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oryon_tpu.config import Config
+from oryon_tpu.data.pair_batch import PairBatch
+from oryon_tpu.geometry.coords import scale_coords, valid_coords
+from oryon_tpu.geometry.kabsch import ransac_kabsch
+from oryon_tpu.geometry.pcd import lift_pcd_at
+from oryon_tpu.losses.feature_loss import FeatureLossConfig, feature_loss
+from oryon_tpu.models.oryon import OryonModel
+from oryon_tpu.models.pointdsc import PointDSC
+from oryon_tpu.ops.matching import MatchParams, nn_correspondences
+from oryon_tpu.ops.resize import resize_mask_nearest
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    mask_source: str = "predicted"      # predicted | oracle | ovseg
+    mask_threshold: float = 0.5
+    solver: str = "pointdsc"            # pointdsc | ransac
+    match: MatchParams = MatchParams()
+    ransac_hypotheses: int = 1024
+    ransac_match_err: float = 0.001     # reference pipeline.py:463
+
+
+class PipelineOutputs(NamedTuple):
+    pred_rel_pose: jnp.ndarray    # [B, 4, 4] predicted relative pose (m)
+    pred_pose: jnp.ndarray        # [B, 4, 4] absolute query pose (m)
+    n_corrs: jnp.ndarray          # [B] valid correspondence counts
+    detection_valid: jnp.ndarray  # [B] bool — masks nonzero on both views
+    iou_a: jnp.ndarray            # [B]
+    iou_q: jnp.ndarray
+    mask_a: jnp.ndarray           # [B, H, W] thresholded prediction
+    mask_q: jnp.ndarray
+    corrs: jnp.ndarray            # [B, N, 4] featmap-frame correspondences
+    corr_valid: jnp.ndarray       # [B, N]
+
+
+def _pose_from_corrs(
+    key: jax.Array,
+    corrs_yx: jnp.ndarray,     # [N, 4] featmap coords
+    corr_valid: jnp.ndarray,   # [N]
+    depth_a: jnp.ndarray,      # [Ho, Wo] mm
+    depth_q: jnp.ndarray,
+    camera_a: jnp.ndarray,     # [9]
+    camera_q: jnp.ndarray,
+    size_a: jnp.ndarray,       # [2] original (H, W)
+    size_q: jnp.ndarray,
+    feat_hw: Tuple[int, int],
+    cfg: PipelineConfig,
+    pointdsc: Optional[Tuple[PointDSC, Dict]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scale corrs to original frames, lift to 3D (meters), register.
+    (reference get_pose, pipeline.py:429-472)."""
+    Ho, Wo = depth_a.shape
+    ca = scale_coords(corrs_yx[:, :2].astype(jnp.float32), feat_hw,
+                      size_a.astype(jnp.float32))
+    cq = scale_coords(corrs_yx[:, 2:].astype(jnp.float32), feat_hw,
+                      size_q.astype(jnp.float32))
+    ok = (corr_valid & valid_coords(ca, size_a) & valid_coords(cq, size_q))
+    cai = jnp.clip(ca.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
+    cqi = jnp.clip(cq.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
+
+    pa = lift_pcd_at(depth_a, camera_a, cai) / 1000.0
+    pq = lift_pcd_at(depth_q, camera_q, cqi) / 1000.0
+    # zero-depth lifts are invalid matches
+    ok = ok & (pa[:, 2] > 0) & (pq[:, 2] > 0)
+    w = ok.astype(jnp.float32)
+
+    if cfg.solver == "ransac":
+        T, n_inl = ransac_kabsch(key, pa, pq, w,
+                                 num_hypotheses=cfg.ransac_hypotheses,
+                                 match_err=cfg.ransac_match_err)
+    elif cfg.solver == "pointdsc":
+        model, params = pointdsc
+        T, _, _ = model.apply(params, pa, pq, w)
+    else:
+        raise ValueError(cfg.solver)
+    return T, jnp.sum(w)
+
+
+def build_pipeline(
+    model: OryonModel,
+    params,
+    cfg: PipelineConfig,
+    pointdsc: Optional[Tuple[PointDSC, Dict]] = None,
+):
+    """Returns a jitted fn: (key, PairBatch) -> PipelineOutputs."""
+    if cfg.solver == "pointdsc" and pointdsc is None:
+        raise ValueError("pointdsc solver needs (model, params)")
+
+    def run(key: jax.Array, batch: PairBatch) -> PipelineOutputs:
+        out = model.apply(params, batch.anchor.rgb, batch.query.rgb,
+                          batch.prompt_ids)
+        B, FH, FW, _ = out.featmap_a.shape
+        pred_mask_a = (jax.nn.sigmoid(out.mask_a) > cfg.mask_threshold).astype(jnp.uint8)
+        pred_mask_q = (jax.nn.sigmoid(out.mask_q) > cfg.mask_threshold).astype(jnp.uint8)
+
+        if cfg.mask_source == "predicted":
+            match_mask_a, match_mask_q = pred_mask_a, pred_mask_q
+        else:
+            match_mask_a = resize_mask_nearest(batch.anchor.mask, (FH, FW))
+            match_mask_q = resize_mask_nearest(batch.query.mask, (FH, FW))
+
+        # IoU of predictions vs GT masks at featmap resolution
+        gt_a = resize_mask_nearest(batch.anchor.mask, (FH, FW))
+        gt_q = resize_mask_nearest(batch.query.mask, (FH, FW))
+        from oryon_tpu.eval.metrics import mask_iou
+        iou_a = mask_iou(gt_a, pred_mask_a)
+        iou_q = mask_iou(gt_q, pred_mask_q)
+
+        det_valid = ((jnp.sum(match_mask_a, axis=(1, 2)) > 0)
+                     & (jnp.sum(match_mask_q, axis=(1, 2)) > 0))
+
+        keys = jax.random.split(key, 2 * B)
+        k_match, k_solve = keys[:B], keys[B:]
+
+        def per_pair(fa, fq, ma, mq, km, ks, da, dq, cam_a, cam_q, sa, sq):
+            corr = nn_correspondences(fa, fq, ma, mq, km, cfg.match)
+            T, n = _pose_from_corrs(ks, corr.yx, corr.valid, da, dq,
+                                    cam_a, cam_q, sa, sq, (FH, FW),
+                                    cfg, pointdsc)
+            return corr.yx, corr.valid, T, n
+
+        corrs_yx, corr_valid, T_rel, n_corrs = jax.vmap(per_pair)(
+            out.featmap_a, out.featmap_q, match_mask_a, match_mask_q,
+            k_match, k_solve,
+            batch.anchor.orig_depth, batch.query.orig_depth,
+            batch.anchor.camera, batch.query.camera,
+            batch.anchor.size, batch.query.size,
+        )
+
+        # no-corr pairs report identity (registered as failure by the host)
+        has_corrs = n_corrs >= 4
+        eye = jnp.broadcast_to(jnp.eye(4), T_rel.shape)
+        T_rel = jnp.where(has_corrs[:, None, None], T_rel, eye)
+        pred_q = jnp.einsum("bij,bjk->bik", T_rel, batch.anchor.pose)
+
+        return PipelineOutputs(
+            pred_rel_pose=T_rel, pred_pose=pred_q,
+            n_corrs=n_corrs, detection_valid=det_valid,
+            iou_a=iou_a, iou_q=iou_q,
+            mask_a=pred_mask_a, mask_q=pred_mask_q,
+            corrs=corrs_yx, corr_valid=corr_valid,
+        )
+
+    from oryon_tpu.data.pair_batch import device_fields
+
+    jitted = jax.jit(run)
+
+    def wrapped(key, batch: PairBatch) -> PipelineOutputs:
+        return jitted(key, device_fields(batch))
+
+    return wrapped
+
+
+def run_test_epoch(
+    pipeline_fn,
+    dataset,
+    evaluator,
+    batch_size: int,
+    key: jax.Array,
+    csv_fp=None,
+    compute_vsd: bool = True,
+):
+    """Host loop: iterate batches, run the device pipeline, register metrics
+    (reference test_step + on_test_end, pipeline.py:306-370)."""
+    from oryon_tpu.eval.evaluator import pred_pose_csv_line
+
+    n_registered = 0
+    for bi, batch in enumerate(dataset.batches(batch_size)):
+        key, sub = jax.random.split(key)
+        out = pipeline_fn(sub, batch)
+        B = batch.corrs.shape[0]
+        det = np.asarray(out.detection_valid)
+        n_corrs = np.asarray(out.n_corrs)
+        iou_a = np.asarray(out.iou_a)
+        iou_q = np.asarray(out.iou_q)
+        pred_rel = np.asarray(out.pred_rel_pose)
+        pred_q = np.asarray(out.pred_pose)
+        valid = np.asarray(batch.valid)
+        gt_pose_q = np.asarray(batch.query.pose)
+        cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
+        depths = np.asarray(batch.query.eval_depth)
+
+        for i in range(B):
+            if valid[i] == 0:  # padding rows
+                continue
+            n_registered += 1
+            if det[i] and n_corrs[i] >= 4:
+                evaluator.register_test(
+                    iou_a[i], iou_q[i],
+                    gt_pose=gt_pose_q[i], pred_pose=pred_q[i],
+                    pred_pose_rel=pred_rel[i],
+                    camera=cameras[i],
+                    depth=depths[i] if compute_vsd else None,
+                    cls_id=batch.cls_id[i],
+                    instance_id=batch.instance_id[i],
+                )
+                pose_out = pred_rel[i]
+            else:
+                evaluator.register_test_failure(
+                    iou_a[i], iou_q[i], cls_id=batch.cls_id[i],
+                    instance_id=batch.instance_id[i])
+                pose_out = np.eye(4)
+            if csv_fp is not None:
+                ia, iq = batch.instance_id[i], batch.instance_id[i]
+                csv_fp.write(pred_pose_csv_line(str(ia), str(iq),
+                                                float(iou_a[i]), float(iou_q[i]),
+                                                pose_out))
+    return n_registered

@@ -1,0 +1,163 @@
+"""End-to-end inference pipeline tests.
+
+The geometric path (match -> lift -> solve -> score) is exercised with an
+oracle feature model that embeds the GT correspondences into feature maps —
+the pipeline must then recover the GT relative pose from depth alone.  This
+is the analog of the reference's debug_valid upper-bound probe
+(configs/config.yaml:11, pipeline.py:293-294).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oryon_tpu.data.synthetic import synthetic_pair_batch
+from oryon_tpu.models.oryon import OryonOutputs, tiny_oryon
+from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
+from oryon_tpu.ops.matching import MatchParams
+from oryon_tpu.pipeline import PipelineConfig, build_pipeline, run_test_epoch
+from oryon_tpu.eval.evaluator import Evaluator, ObjectInfo
+from oryon_tpu.eval.metrics import rotation_translation_errors
+
+KEY = jax.random.PRNGKey(0)
+FEAT_HW = (64, 64)
+FEAT_DIM = 16
+
+
+class OracleFeatureModel:
+    """Feature maps where GT-corresponding pixels share a unique feature."""
+
+    def __init__(self, batch, feat_hw=FEAT_HW, dim=FEAT_DIM, seed=0):
+        rs = np.random.RandomState(seed)
+        B = batch.corrs.shape[0]
+        H, W = feat_hw
+        ih, iw = batch.anchor.rgb.shape[1:3]
+        fa = rs.randn(B, H, W, dim).astype(np.float32)
+        fq = rs.randn(B, H, W, dim).astype(np.float32) + 4.0  # far from fa
+        corrs = np.asarray(batch.corrs)
+        cval = np.asarray(batch.corr_valid)
+        for b in range(B):
+            used_src, used_tgt = set(), set()
+            for (y1, x1, y2, x2), v in zip(corrs[b], cval[b]):
+                if not v:
+                    continue
+                fy1, fx1 = int(y1 * H / ih), int(x1 * W / iw)
+                fy2, fx2 = int(y2 * H / ih), int(x2 * W / iw)
+                # featmap-resolution collisions would overwrite planted
+                # features; keep one corr per featmap pixel on each side
+                if (fy1, fx1) in used_src or (fy2, fx2) in used_tgt:
+                    continue
+                used_src.add((fy1, fx1))
+                used_tgt.add((fy2, fx2))
+                fq[b, fy2, fx2] = fa[b, fy1, fx1]
+        self.fa, self.fq = jnp.array(fa), jnp.array(fq)
+        # oracle masks at featmap res
+        from oryon_tpu.ops.resize import resize_mask_nearest
+        zeros = jnp.zeros((B, H, W))
+        self.outputs = OryonOutputs(
+            featmap_a=self.fa, featmap_q=self.fq,
+            mask_a=jnp.where(resize_mask_nearest(batch.anchor.mask, (H, W)) > 0,
+                             10.0, -10.0),
+            mask_q=jnp.where(resize_mask_nearest(batch.query.mask, (H, W)) > 0,
+                             10.0, -10.0),
+        )
+
+    def apply(self, params, rgb_a, rgb_q, prompt_ids):
+        return self.outputs
+
+
+def _pipeline_cfg(solver):
+    return PipelineConfig(
+        mask_source="oracle", solver=solver,
+        match=MatchParams(src_capacity=1024, max_corrs=256, dist_th=0.25,
+                          chunk=64 * 16),
+        ransac_match_err=0.01,
+    )
+
+
+@pytest.mark.parametrize("solver", ["ransac", "pointdsc"])
+def test_pipeline_recovers_gt_pose(solver):
+    batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
+                                 orig_hw=(240, 320), n_corrs=256,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch)
+    pointdsc = None
+    if solver == "pointdsc":
+        # object-scale config: the reference's pretrained 3DMatch thresholds
+        # (0.10 m) cannot reject the ~0.08 m occlusion outliers of this
+        # synthetic scene; real runs use the pretrained scale unchanged
+        pd = PointDSC(PointDSCConfig(num_layers=2, inlier_threshold=0.02,
+                                     sigma_d=0.02, nms_radius=0.02))
+        dummy = jnp.zeros((256, 3))
+        pd_params = pd.init(KEY, dummy, dummy, jnp.ones(256))
+        pointdsc = (pd, pd_params)
+    fn = build_pipeline(model, None, _pipeline_cfg(solver), pointdsc)
+    out = fn(KEY, batch)
+    assert np.asarray(out.detection_valid).all()
+    assert (np.asarray(out.n_corrs) >= 10).all()
+    errR, errT = rotation_translation_errors(batch.rel_pose, out.pred_rel_pose)
+    for b in range(2):
+        assert float(errR[b]) < 3.0, f"solver {solver} rot err {float(errR[b])}"
+        assert float(errT[b]) < 3.0, f"solver {solver} trans err {float(errT[b])}"
+
+
+def test_pipeline_with_real_model_shapes():
+    batch = synthetic_pair_batch(seed=0, batch=2, img_hw=(28, 28),
+                                 orig_hw=(120, 160), n_corrs=64,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = tiny_oryon()
+    params = model.init(KEY, batch.anchor.rgb, batch.query.rgb, batch.prompt_ids)
+    cfg = PipelineConfig(mask_source="predicted", solver="ransac",
+                         match=MatchParams(src_capacity=256, max_corrs=64,
+                                           chunk=32 * 32))
+    fn = build_pipeline(model, params, cfg)
+    out = fn(KEY, batch)
+    assert out.pred_rel_pose.shape == (2, 4, 4)
+    assert out.mask_a.shape == (2, 32, 32)
+    assert np.isfinite(np.asarray(out.pred_rel_pose)).all()
+
+
+def test_run_test_epoch_registers_and_writes_csv(tmp_path):
+    batch_gen = synthetic_pair_batch(seed=3, batch=4, img_hw=(64, 64),
+                                     orig_hw=(240, 320), n_corrs=256,
+                                     n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch_gen)
+    fn = build_pipeline(model, None, _pipeline_cfg("ransac"))
+
+    class OneBatchDataset:
+        def batches(self, batch_size):
+            yield batch_gen
+
+    ev = Evaluator("t", compute_vsd=False)
+    ev.init_test()
+    rs = np.random.RandomState(0)
+    pts = rs.randn(100, 3).astype(np.float32) * 30
+    for c in batch_gen.cls_id:
+        ev.add_object_info({c: ObjectInfo(pts, 80.0, np.eye(3, 4, dtype=np.float32)[None])})
+    csv = open(tmp_path / "pred.csv", "w")
+    n = run_test_epoch(fn, OneBatchDataset(), ev, 4, KEY, csv_fp=csv,
+                       compute_vsd=False)
+    csv.close()
+    assert n == 4
+    m = ev.get_means()
+    assert m["ADD(S)-0.1d"] > 0.9           # oracle corrs -> near-perfect poses
+    assert m["R error"] < 3.0
+    lines = open(tmp_path / "pred.csv").readlines()
+    assert len(lines) == 4
+    assert len(lines[0].split(",")) == 5
+
+
+def test_pipeline_empty_mask_failure_path():
+    batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
+                                 orig_hw=(240, 320), n_corrs=64,
+                                 n_prompts=2, context_len=16, vocab=600)
+    # kill the anchor masks
+    batch = batch._replace(anchor=batch.anchor._replace(
+        mask=jnp.zeros_like(batch.anchor.mask)))
+    model = OracleFeatureModel(batch)
+    fn = build_pipeline(model, None, _pipeline_cfg("ransac"))
+    out = fn(KEY, batch)
+    assert not np.asarray(out.detection_valid).any()
+    # identity poses reported
+    np.testing.assert_allclose(np.asarray(out.pred_rel_pose),
+                               np.tile(np.eye(4), (2, 1, 1)), atol=1e-5)
