@@ -1,0 +1,84 @@
+"""Orbax checkpointing + experiment folder management.
+
+Replaces the reference's Lightning ModelCheckpoint + manual resume
+(reference: pipeline.py:47-59, run_train.py:29-43): keep-all epoch
+checkpoints named ``epoch=NNNN``, config snapshot beside them, resume by
+epoch number or 'last'.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from oryon_tpu.config import Config, save_config
+
+
+def ckpt_dir(cfg: Config) -> str:
+    return os.path.join(cfg.exp_root, cfg.exp_name, "models")
+
+
+def results_dir(cfg: Config) -> str:
+    return os.path.join(cfg.exp_root, cfg.exp_name, "results")
+
+
+def logs_dir(cfg: Config) -> str:
+    return os.path.join(cfg.exp_root, cfg.exp_name, "logs")
+
+
+def init_experiment(cfg: Config) -> None:
+    """Create the experiment tree + config snapshot
+    (reference utils/misc.py:376-410 / pipeline.py:164-166)."""
+    for d in (ckpt_dir(cfg), results_dir(cfg), logs_dir(cfg)):
+        os.makedirs(d, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.exp_root, cfg.exp_name, "config.yaml"))
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(cfg: Config, epoch: int, state: Any) -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir(cfg), f"epoch={epoch:04d}"))
+    _checkpointer().save(path, {"params": state.params,
+                                "opt_state": state.opt_state,
+                                "step": state.step}, force=True)
+    return path
+
+
+def list_checkpoints(cfg: Config):
+    d = ckpt_dir(cfg)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = re.match(r"epoch=(\d+)", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(d, name)))
+    return sorted(out)
+
+
+def restore_checkpoint(cfg: Config, state: Any,
+                       which: str = "last") -> Tuple[Any, int]:
+    """Restore into a template TrainState; ``which`` is 'last' or an epoch
+    number. Returns (state, epoch); (state, -1) when nothing to restore."""
+    ckpts = list_checkpoints(cfg)
+    if not ckpts:
+        return state, -1
+    if which == "last":
+        epoch, path = ckpts[-1]
+    else:
+        wanted = int(which)
+        matches = [c for c in ckpts if c[0] == wanted]
+        if not matches:
+            raise FileNotFoundError(f"no checkpoint for epoch {wanted}")
+        epoch, path = matches[0]
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+    restored = _checkpointer().restore(os.path.abspath(path), template)
+    return state.replace(params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"]), epoch

@@ -77,9 +77,9 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
         h = quick_gelu(h)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
@@ -108,10 +108,10 @@ class ClipVisionTower(nn.Module):
                          (c.grid * c.grid + 1, c.width), jnp.float32)
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.width)), x], axis=1)
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         for i in range(c.layers):
             x = ResidualAttentionBlock(c.width, c.heads, self.dtype, name=f"resblock_{i}")(x)
-        toks = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 1:, :])
+        toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:, :])
         return toks.reshape(B, c.grid, c.grid, c.width).astype(jnp.float32)
 
 
@@ -133,7 +133,7 @@ class ClipTextTower(nn.Module):
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)[None, None]
         for i in range(c.layers):
             x = ResidualAttentionBlock(c.width, c.heads, self.dtype, name=f"resblock_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         # pool at the EOT token = highest token id (reference vlm.py:81-83)
         eot = jnp.argmax(ids, axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eot]

@@ -36,11 +36,11 @@ class DoubleConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.GroupNorm(num_groups=self.out_ch // 16, dtype=jnp.float32, name="gn1")(x)
+        x = nn.GroupNorm(num_groups=self.out_ch // 16, epsilon=1e-5, dtype=jnp.float32, name="gn1")(x)
         x = jax.nn.relu(x).astype(self.dtype)
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(x)
-        x = nn.GroupNorm(num_groups=self.out_ch // 16, dtype=jnp.float32, name="gn2")(x)
+        x = nn.GroupNorm(num_groups=self.out_ch // 16, epsilon=1e-5, dtype=jnp.float32, name="gn2")(x)
         return jax.nn.relu(x).astype(self.dtype)
 
 

@@ -91,7 +91,7 @@ class GuidedSwinBlock(nn.Module):
         B, H, W, C = x.shape
         w = self.window
         shortcut = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         if guidance is not None:
             y = jnp.concatenate([y, guidance.astype(self.dtype)], axis=-1)
         if self.shift > 0:
@@ -105,7 +105,7 @@ class GuidedSwinBlock(nn.Module):
         if self.shift > 0:
             y = jnp.roll(y, shift=(self.shift, self.shift), axis=(1, 2))
         x = shortcut + y
-        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(4 * C, dtype=self.dtype, name="mlp_fc1")(z)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
@@ -146,7 +146,7 @@ class ClassTransformerLayer(nn.Module):
         x_pool = x.reshape(B, Hp, p, Wp, p, C).mean(axis=(2, 4))  # avg pool
         tok = x_pool.reshape(B * Hp * Wp, 1, C)                    # [BHW, T=1, C]
 
-        t = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tok).astype(self.dtype)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tok).astype(self.dtype)
         if text_guidance is not None:
             g = jnp.broadcast_to(text_guidance[:, None, :], (B, Hp * Wp, C))
             g = g.reshape(B * Hp * Wp, 1, C).astype(self.dtype)
@@ -163,7 +163,7 @@ class ClassTransformerLayer(nn.Module):
         att = LinearAttention(name="attention")(q, k, v).reshape(-1, 1, C)
         tok = tok + att.astype(tok.dtype)
 
-        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tok).astype(self.dtype)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tok).astype(self.dtype)
         h = nn.Dense(4 * C, dtype=self.dtype, name="mlp_fc1")(z)
         h = jax.nn.relu(h)
         h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
@@ -182,7 +182,7 @@ class AggregatorLayer(nn.Module):
     def __call__(self, x, app_guidance, text_guidance):
         c = self.cfg
         if app_guidance is not None:
-            app_guidance = nn.LayerNorm(dtype=jnp.float32, name="guidance_norm")(app_guidance)
+            app_guidance = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="guidance_norm")(app_guidance)
         x = GuidedSwinBlock(c.hidden_dim, c.nheads, c.window, shift=0,
                             dtype=self.dtype, name="swin_block1")(x, app_guidance)
         x = GuidedSwinBlock(c.hidden_dim, c.nheads, c.window, shift=c.window // 2,

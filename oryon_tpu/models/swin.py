@@ -120,7 +120,7 @@ class SwinBlock(nn.Module):
         shift = self.shift if min(H, W) > w else 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         # pad bottom/right to window multiples (published behavior)
         Hp = -(-H // w) * w
         Wp = -(-W // w) * w
@@ -138,7 +138,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
         x = shortcut + x
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
@@ -158,7 +158,7 @@ class PatchMerging(nn.Module):
             [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
             axis=-1,
         )
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -173,7 +173,7 @@ class SwinGuidance(nn.Module):
         c = self.cfg
         x = nn.Conv(c.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                     name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
 
         for i in range(c.depths[0]):
             x = SwinBlock(c.embed_dim, c.heads[0], c.window,

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference: run_test.py).
+
+Usage:
+    python run_test.py dataset.root=data dataset.test.name=nocs \
+        test.mask=oracle eval.ckpt=last
+
+Runs the batched inference pipeline over the fixed test split, registers all
+BOP metrics, writes the reference-format prediction CSV + metrics JSON +
+LaTeX row.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime
+
+import numpy as np
+
+
+def main(argv):
+    overrides = [a for a in argv if "=" in a and not a.startswith("--")]
+    cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
+
+    from oryon_tpu.config import load_config, save_config
+    cfg = load_config(cfg_path, overrides)
+
+    import jax
+    from oryon_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from oryon_tpu.checkpoint import init_experiment, restore_checkpoint, results_dir
+    from oryon_tpu.data.datasets import NocsReader, PairDataset, ToylReader
+    from oryon_tpu.eval.evaluator import Evaluator
+    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
+    from oryon_tpu.models.tokenizer import ClipTokenizer
+    from oryon_tpu.ops.matching import MatchParams
+    from oryon_tpu.pipeline import PipelineConfig, build_pipeline, run_test_epoch
+    from oryon_tpu.train import create_train_state
+    from oryon_tpu.models import convert
+
+    init_experiment(cfg)
+    readers = {"nocs": NocsReader, "toyl": ToylReader}
+    root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
+    tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
+    ds = PairDataset(readers[cfg.dataset.test.name](root), cfg.dataset.test.split,
+                     tokenizer, max_corrs=cfg.dataset.max_corrs,
+                     img_size=cfg.dataset.img_size, augment=False,
+                     debug_valid=cfg.debug_valid, mask_type="oracle"
+                     if cfg.test.mask == "predicted" else cfg.test.mask)
+    print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
+          f" Samples: {len(ds)}")
+
+    model = full_oryon()
+    key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
+    sample = next(ds.batches(cfg.dataset.batch_size))
+    state = create_train_state(model, key, sample, total_steps=1)
+    if cfg.eval.ckpt:
+        state, epoch = restore_checkpoint(cfg, state, cfg.eval.ckpt)
+        print(f"loaded checkpoint epoch {epoch}")
+
+    pointdsc = None
+    if cfg.test.solver == "pointdsc":
+        pd = PointDSC(PointDSCConfig())
+        import jax.numpy as jnp
+        snapshot = os.path.join(cfg.pretrained.pointdsc,
+                                "snapshot/PointDSC_3DMatch_release/models/model_best.pkl")
+        if os.path.exists(snapshot):
+            pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
+        else:
+            print("WARNING: PointDSC snapshot not found; random init")
+            dummy = jnp.zeros((cfg.dataset.max_corrs, 3))
+            pd_vars = pd.init(key, dummy, dummy, jnp.ones(cfg.dataset.max_corrs))
+        pointdsc = (pd, pd_vars)
+
+    pcfg = PipelineConfig(
+        mask_source=cfg.test.mask, mask_threshold=cfg.test.mask_threshold,
+        solver=cfg.test.solver,
+        match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
+                          dist_th=cfg.test.dist_th),
+    )
+    pipe = build_pipeline(model, state.params, pcfg, pointdsc)
+
+    ev = Evaluator(cfg.exp_tag, compute_vsd=cfg.compute_vsd)
+    ev.add_object_info(ds.reader.object_info())
+    ev.init_test()
+
+    stamp = datetime.now().strftime("%d%m%Y_%H%M")
+    tag = f"{cfg.dataset.test.name}_{cfg.dataset.test.split}_{cfg.dataset.test.obj}_{stamp}"
+    rdir = results_dir(cfg)
+    save_config(cfg, os.path.join(rdir, f"config_{stamp}.yaml"))
+    with open(os.path.join(rdir, tag + ".csv"), "w") as csv_fp:
+        n = run_test_epoch(pipe, ds, ev, cfg.dataset.batch_size, key,
+                           csv_fp=csv_fp, compute_vsd=cfg.compute_vsd)
+    with open(os.path.join(rdir, tag + ".json"), "w") as f:
+        ev.save(f)
+    for row in ev.test_summary():
+        print(row)
+    print(ev.get_latex_str())
+    print(f"registered {n} pairs -> {rdir}/{tag}.csv")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

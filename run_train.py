@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Training CLI (reference: run_train.py).
+
+Usage:
+    python run_train.py exp_name=myrun dataset.root=data \
+        training.n_epochs=20 dataset.batch_size=32
+
+Differences from the reference: no Hydra/Lightning — a plain arg-override
+config tree, an explicit epoch loop over a jitted DP train step, orbax
+checkpoints, JSONL metric logs.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(argv):
+    overrides = [a for a in argv if "=" in a]
+    cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
+
+    from oryon_tpu.config import load_config
+    cfg = load_config(cfg_path, [o for o in overrides if not o.startswith("--")])
+
+    import jax
+    from oryon_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from oryon_tpu.checkpoint import (
+        init_experiment, logs_dir, restore_checkpoint, save_checkpoint,
+    )
+    from oryon_tpu.data.datasets import (
+        NocsReader, PairDataset, Shapenet6DReader, ToylReader,
+    )
+    from oryon_tpu.losses.feature_loss import FeatureLossConfig
+    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.models.tokenizer import ClipTokenizer
+    from oryon_tpu.parallel import make_mesh, replicate, shard_batch
+    from oryon_tpu.train import create_train_state, jit_train_step
+    from oryon_tpu.utils.logging import MetricLogger
+
+    init_experiment(cfg)
+    logger = MetricLogger(logs_dir(cfg), cfg.exp_name)
+
+    readers = {"nocs": NocsReader, "toyl": ToylReader,
+               "shapenet6d": Shapenet6DReader}
+    import os
+    root = os.path.join(cfg.dataset.root, cfg.dataset.train.name)
+    tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
+    train_ds = PairDataset(
+        readers[cfg.dataset.train.name](root), cfg.dataset.train.split,
+        tokenizer, max_corrs=cfg.dataset.max_corrs,
+        img_size=cfg.dataset.img_size, augment=True,
+        synset_aug=cfg.augs.text.synset, mask_type="oracle",
+        seed=cfg.seed if cfg.use_seed else 0,
+    )
+    print(f"TRAINING on {cfg.dataset.train.name}, split "
+          f"{cfg.dataset.train.split}. Samples: {len(train_ds)}")
+
+    steps_per_epoch = max(len(train_ds) // cfg.dataset.batch_size, 1)
+    total_steps = steps_per_epoch * cfg.training.n_epochs
+    loss_cfg = FeatureLossConfig(
+        pos_margin=cfg.loss.pos_margin, neg_margin=cfg.loss.neg_margin,
+        neg_kernel=cfg.loss.neg_kernel_size,
+        hard_negatives=cfg.loss.hard_negatives, mask_type=cfg.loss.mask_type,
+        mask_threshold=cfg.test.mask_threshold,
+        w_mask=cfg.loss.w.mask, w_pos=cfg.loss.w.pos, w_neg=cfg.loss.w.neg,
+    )
+
+    model = full_oryon()
+    key = jax.random.PRNGKey(cfg.seed)
+    sample = next(train_ds.batches(cfg.dataset.batch_size))
+    state = create_train_state(model, key, sample, lr=cfg.optimization.lr,
+                               weight_decay=cfg.optimization.w_decay,
+                               total_steps=total_steps,
+                               gamma=cfg.optimization.gamma,
+                               loss_cfg=loss_cfg)
+    start_epoch = 0
+    if cfg.resume_ckpt != "none":
+        state, epoch = restore_checkpoint(cfg, state, cfg.resume_ckpt)
+        start_epoch = epoch + 1
+        print(f"Resumed from epoch {epoch}")
+
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+    state = replicate(state, mesh)
+    step_fn = jit_train_step(donate=True)
+
+    for epoch in range(start_epoch, cfg.training.n_epochs):
+        for bi, batch in enumerate(train_ds.batches(cfg.dataset.batch_size,
+                                                    shuffle=True,
+                                                    drop_last=True)):
+            key, sub = jax.random.split(key)
+            batch = shard_batch(batch._replace(cls_id=None, instance_id=None),
+                                mesh)
+            state, metrics = step_fn(state, batch, sub)
+            if bi % 10 == 0:
+                logger.log_step(int(state.step), metrics, prefix="train")
+        means = logger.epoch_summary(epoch)
+        print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+        if (epoch + 1) % cfg.training.freq_save == 0 or epoch == cfg.training.n_epochs - 1:
+            path = save_checkpoint(cfg, epoch, state)
+            print(f"saved {path}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
