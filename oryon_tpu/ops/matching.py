@@ -42,6 +42,7 @@ class MatchParams:
     max_corrs: int = 500
     dist_th: float = 0.25
     chunk: int = 4608          # target pixels per streaming step (192*24)
+    backend: str = "xla"       # "xla" (lax.scan streaming) | "pallas" (fused)
 
 
 class Correspondences(NamedTuple):
@@ -116,7 +117,11 @@ def nn_correspondences(
     tgt_feats = _unit(feats2.reshape(H * W, D).astype(jnp.float32))
     tgt_bad = mask2.reshape(H * W) == 0
 
-    min_d, arg = _streaming_argmin(src_feats, tgt_feats, tgt_bad, params.chunk)
+    if params.backend == "pallas":
+        from oryon_tpu.ops.pallas.match_kernel import masked_argmin_pallas
+        min_d, arg = masked_argmin_pallas(src_feats, tgt_feats, tgt_bad)
+    else:
+        min_d, arg = _streaming_argmin(src_feats, tgt_feats, tgt_bad, params.chunk)
     tgt_yx = flat_to_yx(arg, W)
 
     good = src_valid & (min_d < params.dist_th)

@@ -216,3 +216,19 @@ def test_obj_loader(tmp_path):
         f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/1 2/2 3/3\n")
     V, F = load_obj(path)
     assert V.shape == (3, 3) and F.tolist() == [[0, 1, 2]]
+
+
+def test_prefetch_loader(nocs_root):
+    from oryon_tpu.data.loader import PrefetchLoader
+    tok = ClipTokenizer()
+    ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                     max_corrs=16, img_size=(56, 56), n_prompts=3)
+    loader = PrefetchLoader(ds, batch_size=1)
+    batches = list(iter(loader))
+    assert len(batches) == 2
+    assert batches[0].anchor.rgb.shape == (1, 56, 56, 3)
+    # process sharding splits the work
+    l0 = list(iter(PrefetchLoader(ds, 1, process_index=0, process_count=2)))
+    l1 = list(iter(PrefetchLoader(ds, 1, process_index=1, process_count=2)))
+    assert len(l0) == 1 and len(l1) == 1
+    assert l0[0].instance_id[0] != l1[0].instance_id[0]

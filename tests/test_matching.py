@@ -136,3 +136,28 @@ def test_masked_sample_distribution(rng):
     got = np.asarray(idx)[np.asarray(valid)]
     assert int(np.asarray(valid).sum()) == 10
     assert (got < 10).all()
+
+
+def test_pallas_kernel_matches_streaming(rng):
+    """Fused pallas masked-argmin (interpret mode on CPU) == brute force."""
+    import functools
+    from jax.experimental import pallas as pl
+    import oryon_tpu.ops.pallas.match_kernel as mk
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        S, N, Dd = 256, 512, 32
+        src = rng.randn(S, Dd).astype(np.float32)
+        src /= np.linalg.norm(src, axis=1, keepdims=True)
+        tgt = rng.randn(N, Dd).astype(np.float32)
+        tgt /= np.linalg.norm(tgt, axis=1, keepdims=True)
+        bad = rng.rand(N) > 0.6
+        md, am = mk.masked_argmin_pallas(jnp.array(src), jnp.array(tgt),
+                                         jnp.array(bad), src_tile=128,
+                                         tgt_chunk=256)
+        dist = 0.5 * (1 - src @ tgt.T)
+        dist[:, bad] = np.inf
+        assert (np.asarray(am) == dist.argmin(1)).all()
+        np.testing.assert_allclose(np.asarray(md), dist.min(1), atol=1e-5)
+    finally:
+        pl.pallas_call = orig
