@@ -385,6 +385,8 @@ class PairDataset:
             "prompts": prompts,
             "cls_id": obj_key,
             "instance_id": f"{scene_a}_{img_a}_{scene_q}_{img_q}_{obj_name}",
+            "id_a": item_a["instance_id"],
+            "id_q": item_q["instance_id"],
         }
 
     def collate(self, pairs: Sequence[Dict]) -> PairBatch:
@@ -416,6 +418,8 @@ class PairDataset:
             rel_pose=jnp.array(np.stack([p["rel_pose"] for p in pairs]).astype(np.float32)),
             cls_id=np.asarray([p["cls_id"] for p in pairs]),
             instance_id=np.asarray([p["instance_id"] for p in pairs]),
+            id_a=np.asarray([p["id_a"] for p in pairs]),
+            id_q=np.asarray([p["id_q"] for p in pairs]),
         )
 
     def batches(self, batch_size: int, shuffle: bool = False,

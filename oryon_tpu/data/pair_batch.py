@@ -39,6 +39,8 @@ class PairBatch(NamedTuple):
     rel_pose: jnp.ndarray     # [B, 4, 4] GT relative pose T_A->Q (meters)
     cls_id: np.ndarray        # [B] host-side object class ids (not traced)
     instance_id: np.ndarray   # [B] host-side instance tags (not traced)
+    id_a: np.ndarray = None   # [B] host-side anchor ids "scene img obj"
+    id_q: np.ndarray = None   # [B] host-side query ids
 
     @property
     def batch_size(self) -> int:
@@ -47,4 +49,4 @@ class PairBatch(NamedTuple):
 
 def device_fields(batch: PairBatch):
     """The jax-traced subset (drops host-side id arrays)."""
-    return batch._replace(cls_id=None, instance_id=None)
+    return batch._replace(cls_id=None, instance_id=None, id_a=None, id_q=None)

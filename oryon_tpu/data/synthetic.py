@@ -167,5 +167,8 @@ def synthetic_pair_batch(
         corrs=stack("corrs"), corr_valid=stack("corr_valid"),
         valid=jnp.ones((batch,), jnp.float32),
         rel_pose=stack("rel_pose"),
-        cls_id=np.arange(batch), instance_id=np.array([f"syn_{i}" for i in range(batch)]),
+        cls_id=np.arange(batch),
+        instance_id=np.array([f"syn_{i}" for i in range(batch)]),
+        id_a=np.array([f"0 {i} obj{i}" for i in range(batch)]),
+        id_q=np.array([f"1 {i} obj{i}" for i in range(batch)]),
     )

@@ -229,7 +229,8 @@ def run_test_epoch(
                     instance_id=batch.instance_id[i])
                 pose_out = np.eye(4)
             if csv_fp is not None:
-                ia, iq = batch.instance_id[i], batch.instance_id[i]
+                ia = batch.id_a[i] if batch.id_a is not None else batch.instance_id[i]
+                iq = batch.id_q[i] if batch.id_q is not None else batch.instance_id[i]
                 csv_fp.write(pred_pose_csv_line(str(ia), str(iq),
                                                 float(iou_a[i]), float(iou_q[i]),
                                                 pose_out))

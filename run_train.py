@@ -91,7 +91,7 @@ def main(argv):
                                                     shuffle=True,
                                                     drop_last=True)):
             key, sub = jax.random.split(key)
-            batch = shard_batch(batch._replace(cls_id=None, instance_id=None),
+            batch = shard_batch(batch._replace(cls_id=None, instance_id=None, id_a=None, id_q=None),
                                 mesh)
             state, metrics = step_fn(state, batch, sub)
             if bi % 10 == 0:

@@ -177,7 +177,7 @@ def test_train_step_on_8_device_mesh():
                                  n_prompts=2, context_len=16, vocab=600)
     state = create_train_state(model, KEY, batch, lr=3e-4, total_steps=50)
     mesh = make_mesh(n_data=8)
-    dbatch = batch._replace(cls_id=None, instance_id=None)
+    dbatch = batch._replace(cls_id=None, instance_id=None, id_a=None, id_q=None)
     sbatch = shard_batch(dbatch, mesh)
     sstate = replicate(state, mesh)
     step = jax.jit(train_step)
