@@ -86,13 +86,24 @@ def main(argv):
     state = replicate(state, mesh)
     step_fn = jit_train_step(donate=True)
 
+    # validation dataset (pose eval every freq_valid epochs,
+    # reference config training.freq_valid + validation_step)
+    valid_ds = None
+    valid_root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
+    if os.path.isdir(valid_root) and cfg.dataset.test.name in readers:
+        valid_ds = PairDataset(
+            readers[cfg.dataset.test.name](valid_root), cfg.dataset.test.split,
+            tokenizer, max_corrs=cfg.dataset.max_corrs,
+            img_size=cfg.dataset.img_size, augment=False, mask_type="oracle")
+
+    from oryon_tpu.data.pair_batch import device_fields
+
     for epoch in range(start_epoch, cfg.training.n_epochs):
         for bi, batch in enumerate(train_ds.batches(cfg.dataset.batch_size,
                                                     shuffle=True,
                                                     drop_last=True)):
             key, sub = jax.random.split(key)
-            batch = shard_batch(batch._replace(cls_id=None, instance_id=None, id_a=None, id_q=None),
-                                mesh)
+            batch = shard_batch(device_fields(batch), mesh)
             state, metrics = step_fn(state, batch, sub)
             if bi % 10 == 0:
                 logger.log_step(int(state.step), metrics, prefix="train")
@@ -101,7 +112,34 @@ def main(argv):
         if (epoch + 1) % cfg.training.freq_save == 0 or epoch == cfg.training.n_epochs - 1:
             path = save_checkpoint(cfg, epoch, state)
             print(f"saved {path}")
+        if valid_ds is not None and (epoch + 1) % cfg.training.freq_valid == 0:
+            run_validation(cfg, model, state, valid_ds, key, epoch)
     logger.close()
+
+
+def run_validation(cfg, model, state, valid_ds, key, epoch):
+    """Pose-metric validation pass (reference validation_step,
+    pipeline.py:196-247), without VSD for speed."""
+    from oryon_tpu.eval.evaluator import Evaluator
+    from oryon_tpu.ops.matching import MatchParams
+    from oryon_tpu.pipeline import PipelineConfig, build_pipeline, run_test_epoch
+
+    pcfg = PipelineConfig(
+        mask_source="predicted", mask_threshold=cfg.test.mask_threshold,
+        solver="ransac",
+        match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
+                          dist_th=cfg.test.dist_th),
+    )
+    pipe = build_pipeline(model, state.params, pcfg)
+    ev = Evaluator(cfg.exp_tag, compute_vsd=False)
+    ev.add_object_info(valid_ds.reader.object_info())
+    ev.init_test()
+    run_test_epoch(pipe, valid_ds, ev, cfg.dataset.batch_size, key,
+                   compute_vsd=False)
+    means = ev.get_means()
+    print(f"valid epoch {epoch}: " +
+          " ".join(f"{k}={v:.3f}" for k, v in sorted(means.items())
+                   if isinstance(v, float)))
 
 
 if __name__ == "__main__":
