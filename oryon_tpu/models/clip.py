@@ -86,6 +86,39 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """ResidualAttentionBlock wrapped for nn.scan (carry = activations)."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask) -> tuple:
+        x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
+                                   name="block")(x, mask)
+        return x, None
+
+
+def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool):
+    """Transformer stack: nn.scan over one compiled block (compile time and
+    HLO size ~layers-times smaller than unrolling — critical for the 24-layer
+    ViT-L under slow remote compilation) or the unrolled fallback."""
+    if scan:
+        Blocks = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,),
+            length=layers,
+        )
+        x, _ = Blocks(width, heads, dtype, name="resblocks")(x, mask)
+        return x
+    for i in range(layers):
+        x = ResidualAttentionBlock(width, heads, dtype, name=f"resblock_{i}")(x, mask)
+    return x
+
+
 class ClipVisionTower(nn.Module):
     """Dense visual tokens: [B, 336, 336, 3] -> [B, 24, 24, 1024].
 
@@ -95,6 +128,7 @@ class ClipVisionTower(nn.Module):
 
     cfg: ClipVisionConfig = ClipVisionConfig()
     dtype: Any = jnp.bfloat16
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -109,8 +143,8 @@ class ClipVisionTower(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.width)), x], axis=1)
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
-        for i in range(c.layers):
-            x = ResidualAttentionBlock(c.width, c.heads, self.dtype, name=f"resblock_{i}")(x)
+        x = _run_blocks(x, None, c.width, c.heads, c.layers, self.dtype,
+                        self.scan_layers)
         toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:, :])
         return toks.reshape(B, c.grid, c.grid, c.width).astype(jnp.float32)
 
@@ -120,6 +154,7 @@ class ClipTextTower(nn.Module):
 
     cfg: ClipTextConfig = ClipTextConfig()
     dtype: Any = jnp.bfloat16
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -131,8 +166,8 @@ class ClipTextTower(nn.Module):
         x = emb[ids].astype(self.dtype) + pos.astype(self.dtype)
         L = c.context_length
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)[None, None]
-        for i in range(c.layers):
-            x = ResidualAttentionBlock(c.width, c.heads, self.dtype, name=f"resblock_{i}")(x, causal)
+        x = _run_blocks(x, causal, c.width, c.heads, c.layers, self.dtype,
+                        self.scan_layers)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         # pool at the EOT token = highest token id (reference vlm.py:81-83)
         eot = jnp.argmax(ids, axis=-1)

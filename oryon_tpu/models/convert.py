@@ -97,7 +97,25 @@ def mha_packed(sd: Dict, prefix: str) -> Dict[str, Any]:
 
 
 # ---- CLIP ------------------------------------------------------------------
-def convert_clip_visual(sd: Dict, layers: int = 24) -> Dict:
+def _resblock_params(sd: Dict, b: str) -> Dict:
+    return {
+        "ln_1": norm(sd, f"{b}.ln_1"),
+        "ln_2": norm(sd, f"{b}.ln_2"),
+        "attn": mha_packed(sd, f"{b}.attn"),
+        "mlp_c_fc": linear(sd, f"{b}.mlp.c_fc"),
+        "mlp_c_proj": linear(sd, f"{b}.mlp.c_proj"),
+    }
+
+
+def _stack_blocks(blocks):
+    """Per-layer param trees -> one tree with leaves stacked on axis 0
+    (the nn.scan layout used by the CLIP towers)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *blocks)
+
+
+def convert_clip_visual(sd: Dict, layers: int = 24, scan: bool = True) -> Dict:
     """OpenAI CLIP 'visual.' subtree -> ClipVisionTower params."""
     p: Dict[str, Any] = {
         "conv1": {"kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)},
@@ -106,34 +124,30 @@ def convert_clip_visual(sd: Dict, layers: int = 24) -> Dict:
         "ln_pre": norm(sd, "visual.ln_pre"),
         "ln_post": norm(sd, "visual.ln_post"),
     }
-    for i in range(layers):
-        b = f"visual.transformer.resblocks.{i}"
-        p[f"resblock_{i}"] = {
-            "ln_1": norm(sd, f"{b}.ln_1"),
-            "ln_2": norm(sd, f"{b}.ln_2"),
-            "attn": mha_packed(sd, f"{b}.attn"),
-            "mlp_c_fc": linear(sd, f"{b}.mlp.c_fc"),
-            "mlp_c_proj": linear(sd, f"{b}.mlp.c_proj"),
-        }
+    blocks = [_resblock_params(sd, f"visual.transformer.resblocks.{i}")
+              for i in range(layers)]
+    if scan:
+        p["resblocks"] = {"block": _stack_blocks(blocks)}
+    else:
+        for i, b in enumerate(blocks):
+            p[f"resblock_{i}"] = b
     return {"params": p}
 
 
-def convert_clip_text(sd: Dict, layers: int = 12) -> Dict:
+def convert_clip_text(sd: Dict, layers: int = 12, scan: bool = True) -> Dict:
     p: Dict[str, Any] = {
         "token_embedding": sd["token_embedding.weight"],
         "positional_embedding": sd["positional_embedding"],
         "ln_final": norm(sd, "ln_final"),
         "text_projection": sd["text_projection"],
     }
-    for i in range(layers):
-        b = f"transformer.resblocks.{i}"
-        p[f"resblock_{i}"] = {
-            "ln_1": norm(sd, f"{b}.ln_1"),
-            "ln_2": norm(sd, f"{b}.ln_2"),
-            "attn": mha_packed(sd, f"{b}.attn"),
-            "mlp_c_fc": linear(sd, f"{b}.mlp.c_fc"),
-            "mlp_c_proj": linear(sd, f"{b}.mlp.c_proj"),
-        }
+    blocks = [_resblock_params(sd, f"transformer.resblocks.{i}")
+              for i in range(layers)]
+    if scan:
+        p["resblocks"] = {"block": _stack_blocks(blocks)}
+    else:
+        for i, b in enumerate(blocks):
+            p[f"resblock_{i}"] = b
     return {"params": p}
 
 

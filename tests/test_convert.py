@@ -177,3 +177,45 @@ def test_pointdsc_converter_structure(rng):
     T, labels, conf = model.apply(variables, src, src, jnp.ones(64))
     # identical clouds: identity transform expected
     np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-3)
+
+
+def test_scan_vs_unrolled_tower_equivalence(rng):
+    """Scanned tower (stacked params) == unrolled tower (per-layer params)."""
+    from oryon_tpu.models.clip import ClipTextConfig, ClipTextTower
+
+    cfg = ClipTextConfig(vocab_size=100, context_length=8, width=16, layers=3,
+                         heads=4, embed_dim=12)
+    ids = np.zeros((2, 8), np.int32)
+    ids[:, 0] = 98
+    ids[:, 1] = rng.randint(1, 90, 2)
+    ids[:, 2] = 99
+
+    # build a torch-layout state dict for 3 layers
+    sd = {
+        "token_embedding.weight": rng.randn(100, 16).astype(np.float32) * 0.1,
+        "positional_embedding": rng.randn(8, 16).astype(np.float32) * 0.1,
+        "ln_final.weight": np.ones(16, np.float32),
+        "ln_final.bias": np.zeros(16, np.float32),
+        "text_projection": rng.randn(16, 12).astype(np.float32) * 0.1,
+    }
+    for i in range(3):
+        b = f"transformer.resblocks.{i}"
+        for nm, shape in [("ln_1", 16), ("ln_2", 16)]:
+            sd[f"{b}.{nm}.weight"] = np.ones(shape, np.float32)
+            sd[f"{b}.{nm}.bias"] = np.zeros(shape, np.float32)
+        sd[f"{b}.attn.in_proj_weight"] = rng.randn(48, 16).astype(np.float32) * 0.1
+        sd[f"{b}.attn.in_proj_bias"] = np.zeros(48, np.float32)
+        sd[f"{b}.attn.out_proj.weight"] = rng.randn(16, 16).astype(np.float32) * 0.1
+        sd[f"{b}.attn.out_proj.bias"] = np.zeros(16, np.float32)
+        sd[f"{b}.mlp.c_fc.weight"] = rng.randn(64, 16).astype(np.float32) * 0.1
+        sd[f"{b}.mlp.c_fc.bias"] = np.zeros(64, np.float32)
+        sd[f"{b}.mlp.c_proj.weight"] = rng.randn(16, 64).astype(np.float32) * 0.1
+        sd[f"{b}.mlp.c_proj.bias"] = np.zeros(16, np.float32)
+
+    p_scan = C.convert_clip_text(sd, layers=3, scan=True)
+    p_unroll = C.convert_clip_text(sd, layers=3, scan=False)
+    m_scan = ClipTextTower(cfg, dtype=jnp.float32, scan_layers=True)
+    m_unroll = ClipTextTower(cfg, dtype=jnp.float32, scan_layers=False)
+    y_scan = m_scan.apply(jax.tree_util.tree_map(jnp.asarray, p_scan), jnp.array(ids))
+    y_unroll = m_unroll.apply(jax.tree_util.tree_map(jnp.asarray, p_unroll), jnp.array(ids))
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll), atol=1e-5)
