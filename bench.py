@@ -48,7 +48,8 @@ def main() -> None:
     ids = jnp.array(ids)
 
     model = full_oryon()
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), rgb_a[:1], rgb_q[:1], ids[:1])
+    from oryon_tpu.utils.initshape import init_by_shape
+    params = init_by_shape(model, jax.random.PRNGKey(0), rgb_a[:1], rgb_q[:1], ids[:1])
     mp = MatchParams()
 
     def pipeline(key, rgb_a, rgb_q, ids, depth_a, depth_q, camera):

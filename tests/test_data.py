@@ -232,3 +232,47 @@ def test_prefetch_loader(nocs_root):
     l1 = list(iter(PrefetchLoader(ds, 1, process_index=1, process_count=2)))
     assert len(l0) == 1 and len(l1) == 1
     assert l0[0].instance_id[0] != l1[0].instance_id[0]
+
+
+@pytest.fixture(scope="module")
+def shapenet_root(tmp_path_factory):
+    """Miniature ShapeNet6D-format tree (utils/data/shapenet.py formats)."""
+    rs = np.random.RandomState(1)
+    root = str(tmp_path_factory.mktemp("sn6d"))
+    from PIL import Image
+
+    H, W = 48, 64
+    for sub in ("rgb", "mask", "depth"):
+        os.makedirs(join(root, "raw_data", sub), exist_ok=True)
+    annots = {}
+    for img_id in (0, 1):
+        Image.fromarray((rs.rand(H, W, 3) * 255).astype(np.uint8)).save(
+            join(root, "raw_data", "rgb", f"{img_id:06d}.jpg"))
+        mask = np.zeros((H, W), np.uint8)
+        mask[10:30, 20:40] = 1  # obj_idx 1
+        Image.fromarray(mask).save(join(root, "raw_data", "mask", f"{img_id:06d}.png"))
+        Image.fromarray((rs.rand(H, W) * 900 + 400).astype(np.uint16)).save(
+            join(root, "raw_data", "depth", f"{img_id:06d}.png"))
+        annots[img_id] = {
+            "K": np.array([[500, 0, 32], [0, 500, 24], [0, 0, 1]], np.float64),
+            "obj_info_lst": [{}, {"cls_id": 7, "RT": np.eye(4)[:3]}],
+        }
+    with open(join(root, "scene_gt.pkl"), "wb") as f:
+        pickle.dump(annots, f)
+    with open(join(root, "metadata.csv"), "w") as f:
+        f.write('fullId,x,category,wnlemmas,name,z\n')
+        f.write('wss.abc123,0,chair,"chair,seat",chair_model,0\n')
+    with open(join(root, "objnm2clsid.json"), "w") as f:
+        json.dump({"abc123_0": 7}, f)
+    return root
+
+
+def test_shapenet_reader(shapenet_root):
+    from oryon_tpu.data.datasets import Shapenet6DReader
+    r = Shapenet6DReader(shapenet_root)
+    item = r.get_item(0, 7)
+    assert item["rgb"].shape == (48, 64, 3)
+    assert item["mask"].sum() == 400
+    assert item["cls_name"] == "chair"
+    assert "seat" in item["cls_descs"]
+    assert item["camera"][0, 0] == 500
