@@ -46,6 +46,7 @@ class PipelineConfig:
     match: MatchParams = MatchParams()
     ransac_hypotheses: int = 1024
     ransac_match_err: float = 0.001     # reference pipeline.py:463
+    debug_valid: bool = False           # GT corrs -> solver upper bound
 
 
 class PipelineOutputs(NamedTuple):
@@ -140,20 +141,49 @@ def build_pipeline(
         keys = jax.random.split(key, 2 * B)
         k_match, k_solve = keys[:B], keys[B:]
 
-        def per_pair(fa, fq, ma, mq, km, ks, da, dq, cam_a, cam_q, sa, sq):
-            corr = nn_correspondences(fa, fq, ma, mq, km, cfg.match)
-            T, n = _pose_from_corrs(ks, corr.yx, corr.valid, da, dq,
-                                    cam_a, cam_q, sa, sq, (FH, FW),
-                                    cfg, pointdsc)
-            return corr.yx, corr.valid, T, n
+        if cfg.debug_valid:
+            # GT-correspondence upper bound (reference debug_valid,
+            # config.yaml:11): bypass matching, feed the annotated corrs
+            # rescaled from input to featmap frame
+            ih, iw = batch.anchor.rgb.shape[1:3]
+            gt_fc = scale_coords(batch.corrs.astype(jnp.float32), (ih, iw),
+                                 (FH, FW))
+            gt_fc = jnp.clip(gt_fc, 0, FH - 1).astype(jnp.int32)
+            N = gt_fc.shape[1]
+            pad = cfg.match.max_corrs - N
+            if pad > 0:
+                gt_fc = jnp.pad(gt_fc, ((0, 0), (0, pad), (0, 0)))
+                gt_cv = jnp.pad(batch.corr_valid, ((0, 0), (0, pad)))
+            else:
+                gt_fc = gt_fc[:, : cfg.match.max_corrs]
+                gt_cv = batch.corr_valid[:, : cfg.match.max_corrs]
 
-        corrs_yx, corr_valid, T_rel, n_corrs = jax.vmap(per_pair)(
-            out.featmap_a, out.featmap_q, match_mask_a, match_mask_q,
-            k_match, k_solve,
-            batch.anchor.orig_depth, batch.query.orig_depth,
-            batch.anchor.camera, batch.query.camera,
-            batch.anchor.size, batch.query.size,
-        )
+            def per_pair_gt(cy, cv, ks, da, dq, cam_a, cam_q, sa, sq):
+                T, n = _pose_from_corrs(ks, cy, cv, da, dq, cam_a, cam_q,
+                                        sa, sq, (FH, FW), cfg, pointdsc)
+                return cy, cv, T, n
+
+            corrs_yx, corr_valid, T_rel, n_corrs = jax.vmap(per_pair_gt)(
+                gt_fc, gt_cv, k_solve,
+                batch.anchor.orig_depth, batch.query.orig_depth,
+                batch.anchor.camera, batch.query.camera,
+                batch.anchor.size, batch.query.size,
+            )
+        else:
+            def per_pair(fa, fq, ma, mq, km, ks, da, dq, cam_a, cam_q, sa, sq):
+                corr = nn_correspondences(fa, fq, ma, mq, km, cfg.match)
+                T, n = _pose_from_corrs(ks, corr.yx, corr.valid, da, dq,
+                                        cam_a, cam_q, sa, sq, (FH, FW),
+                                        cfg, pointdsc)
+                return corr.yx, corr.valid, T, n
+
+            corrs_yx, corr_valid, T_rel, n_corrs = jax.vmap(per_pair)(
+                out.featmap_a, out.featmap_q, match_mask_a, match_mask_q,
+                k_match, k_solve,
+                batch.anchor.orig_depth, batch.query.orig_depth,
+                batch.anchor.camera, batch.query.camera,
+                batch.anchor.size, batch.query.size,
+            )
 
         # no-corr pairs report identity (registered as failure by the host)
         has_corrs = n_corrs >= 4

@@ -161,3 +161,24 @@ def test_pipeline_empty_mask_failure_path():
     # identity poses reported
     np.testing.assert_allclose(np.asarray(out.pred_rel_pose),
                                np.tile(np.eye(4), (2, 1, 1)), atol=1e-5)
+
+
+def test_pipeline_debug_valid_gt_corrs():
+    """debug_valid feeds GT correspondences straight to the solver — the
+    recovered pose must be near-exact regardless of the feature model."""
+    batch = synthetic_pair_batch(seed=5, batch=2, img_hw=(64, 64),
+                                 orig_hw=(240, 320), n_corrs=256,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch)  # features irrelevant in this mode
+    cfg = PipelineConfig(mask_source="oracle", solver="ransac",
+                         match=MatchParams(src_capacity=256, max_corrs=256,
+                                           chunk=64 * 16),
+                         ransac_match_err=0.01, debug_valid=True)
+    fn = build_pipeline(model, None, cfg)
+    out = fn(KEY, batch)
+    errR, errT = rotation_translation_errors(batch.rel_pose, out.pred_rel_pose)
+    # coordinate double-rounding (orig->64 input->64 featmap->orig) bounds
+    # the achievable accuracy; ~1.5deg/1.5cm is the quantization floor here
+    for b in range(2):
+        assert float(errR[b]) < 2.0
+        assert float(errT[b]) < 2.0
