@@ -52,7 +52,7 @@ def main() -> None:
     params = init_by_shape(model, jax.random.PRNGKey(0), rgb_a[:1], rgb_q[:1], ids[:1])
     mp = MatchParams()
 
-    def pipeline(key, rgb_a, rgb_q, ids, depth_a, depth_q, camera):
+    def pipeline(params, key, rgb_a, rgb_q, ids, depth_a, depth_q, camera):
         out = model.apply(params, rgb_a, rgb_q, ids)
         mask_a = (jax.nn.sigmoid(out.mask_a) > 0.5).astype(jnp.uint8)
         mask_q = (jax.nn.sigmoid(out.mask_q) > 0.5).astype(jnp.uint8)
@@ -74,18 +74,23 @@ def main() -> None:
         )(keys, pa, pq, corrs.valid.astype(jnp.float32))
         return poses, inl
 
+    def sync(out):
+        # force real execution: on this backend block_until_ready returns
+        # before the computation runs; a host copy is the reliable barrier
+        return float(np.asarray(out[0]).sum())
+
     run = jax.jit(pipeline)
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    out = run(key, rgb_a, rgb_q, ids, depth_a, depth_q, camera)
-    jax.block_until_ready(out)
+    sync(run(params, key, rgb_a, rgb_q, ids, depth_a, depth_q, camera))
     compile_s = time.perf_counter() - t0
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.PRNGKey(i), rgb_a, rgb_q, ids, depth_a, depth_q, camera)
-    jax.block_until_ready(out)
+        out = run(params, jax.random.PRNGKey(i), rgb_a, rgb_q, ids,
+                  depth_a, depth_q, camera)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
     pairs_per_sec = B / dt
 

@@ -115,8 +115,8 @@ def build_pipeline(
     if cfg.solver == "pointdsc" and pointdsc is None:
         raise ValueError("pointdsc solver needs (model, params)")
 
-    def run(key: jax.Array, batch: PairBatch) -> PipelineOutputs:
-        out = model.apply(params, batch.anchor.rgb, batch.query.rgb,
+    def run(params_, key: jax.Array, batch: PairBatch) -> PipelineOutputs:
+        out = model.apply(params_, batch.anchor.rgb, batch.query.rgb,
                           batch.prompt_ids)
         B, FH, FW, _ = out.featmap_a.shape
         pred_mask_a = (jax.nn.sigmoid(out.mask_a) > cfg.mask_threshold).astype(jnp.uint8)
@@ -201,10 +201,13 @@ def build_pipeline(
 
     from oryon_tpu.data.pair_batch import device_fields
 
+    # params ride as a jit ARGUMENT: closing over them would bake ~1.2 GB of
+    # weights into the HLO as literal constants (measured: >30 min compiles
+    # through the remote-compile path vs minutes as arguments)
     jitted = jax.jit(run)
 
     def wrapped(key, batch: PairBatch) -> PipelineOutputs:
-        return jitted(key, device_fields(batch))
+        return jitted(params, key, device_fields(batch))
 
     return wrapped
 
