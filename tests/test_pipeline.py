@@ -62,7 +62,7 @@ class OracleFeatureModel:
                              10.0, -10.0),
         )
 
-    def apply(self, params, rgb_a, rgb_q, prompt_ids):
+    def apply(self, params, rgb_a, rgb_q, prompt_ids=None, text_emb=None):
         return self.outputs
 
 
