@@ -244,6 +244,7 @@ def run_test_epoch(
     csv_fp=None,
     compute_vsd: bool = True,
     text_cache=None,
+    save_hook=None,
 ):
     """Host loop: iterate batches, run the device pipeline, register metrics
     (reference test_step + on_test_end, pipeline.py:306-370)."""
@@ -255,6 +256,8 @@ def run_test_epoch(
         text_emb = (text_cache(batch.cls_id, batch.prompt_ids)
                     if text_cache is not None else None)
         out = pipeline_fn(sub, batch, text_emb)
+        if save_hook is not None:
+            save_hook(bi, batch, out)
         B = batch.corrs.shape[0]
         det = np.asarray(out.detection_valid)
         n_corrs = np.asarray(out.n_corrs)

@@ -92,10 +92,17 @@ def main(argv):
     rdir = results_dir(cfg)
     save_config(cfg, os.path.join(rdir, f"config_{stamp}.yaml"))
     text_cache = make_text_cache(model, state.params)
+    save_hook = None
+    if cfg.test.only_save_masks:
+        from oryon_tpu.utils.savers import make_mask_saver
+        save_hook = make_mask_saver(os.path.join(rdir, "pred_masks"))
+    elif cfg.test.only_save_featmaps:
+        from oryon_tpu.utils.savers import make_featmap_saver
+        save_hook = make_featmap_saver(os.path.join(rdir, "featmaps"))
     with open(os.path.join(rdir, tag + ".csv"), "w") as csv_fp:
         n = run_test_epoch(pipe, ds, ev, cfg.dataset.batch_size, key,
                            csv_fp=csv_fp, compute_vsd=cfg.compute_vsd,
-                           text_cache=text_cache)
+                           text_cache=text_cache, save_hook=save_hook)
     with open(os.path.join(rdir, tag + ".json"), "w") as f:
         ev.save(f)
     for row in ev.test_summary():

@@ -206,3 +206,23 @@ def test_text_cache_equivalence():
                                np.asarray(out_cached.pred_rel_pose), atol=1e-4)
     # cache hit: second call for the same classes reuses entries
     assert len(cache.__closure__[0].cell_contents) == 2 or True
+
+
+def test_save_hooks(tmp_path):
+    from oryon_tpu.utils.savers import make_featmap_saver, make_mask_saver
+    batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
+                                 orig_hw=(240, 320), n_corrs=64,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch)
+    fn = build_pipeline(model, None, _pipeline_cfg("ransac"))
+    out = fn(KEY, batch)
+    mh = make_mask_saver(str(tmp_path / "masks"))
+    mh(0, batch, out)
+    import os
+    pngs = os.listdir(tmp_path / "masks")
+    assert len(pngs) == 4  # 2 pairs x 2 views
+    fh = make_featmap_saver(str(tmp_path / "feats"))
+    fh(0, batch, out)
+    import numpy as _np
+    z = _np.load(tmp_path / "feats" / "featmaps_00000.npz")
+    assert z["corrs"].shape[0] == 2
