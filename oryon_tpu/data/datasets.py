@@ -328,6 +328,21 @@ class PairDataset:
             lines = f.readlines()
         with open(join(path, "annots.pkl"), "rb") as f:
             annots = pickle.load(f)
+        # tracked pairs rendered during validation/test
+        # (reference datasets.py:444-457)
+        self.tracked_instances = set()
+        tracked_path = join(path, "tracked.txt")
+        if os.path.exists(tracked_path):
+            with open(tracked_path) as f:
+                for line in f.readlines():
+                    try:
+                        _, id_a, id_q, cat = line.strip("\n").split(",")
+                        sa, ia = [int(n) for n in id_a.split(" ") if n != ""]
+                        sq, iq = [int(n) for n in id_q.split(" ") if n != ""]
+                        obj = cat.strip().split(" ")[1]
+                        self.tracked_instances.add(f"{sa}_{ia}_{sq}_{iq}_{obj}")
+                    except (ValueError, IndexError):
+                        continue
         for line in lines:
             _, id_a, id_q, cat = line.strip("\n").split(",")
             scene_a, img_a = [int(n) for n in id_a.split(" ") if n != ""]

@@ -213,6 +213,39 @@ def build_pipeline(
     return wrapped
 
 
+def _viz_tracked(viz_dir, dataset, batch, out):
+    """Render tracked instances (reference pipeline.py:332-334 +
+    valid_visualization:249-287): masks + correspondences."""
+    import os
+
+    from oryon_tpu.ops.resize import resize_mask_nearest
+    from oryon_tpu.utils import viz
+
+    tracked = getattr(dataset, "tracked_instances", None)
+    if not tracked:
+        return
+    for i, iid in enumerate(batch.instance_id):
+        if str(iid) not in tracked:
+            continue
+        rgb_a = np.asarray(batch.anchor.rgb[i])
+        rgb_q = np.asarray(batch.query.rgb[i])
+        FH, FW = out.mask_a.shape[1:3]
+        gt_a = np.asarray(resize_mask_nearest(batch.anchor.mask[i], (FH, FW)))
+        gt_q = np.asarray(resize_mask_nearest(batch.query.mask[i], (FH, FW)))
+        base = os.path.join(viz_dir, str(iid).replace(" ", "_"))
+        viz.pred_mask(rgb_a, rgb_q, gt_a, gt_q,
+                      np.asarray(out.mask_a[i]), np.asarray(out.mask_q[i]),
+                      base + "_mask.png")
+        ih, iw = rgb_a.shape[:2]
+        rows = np.asarray(out.corrs[i]).astype(np.float64)
+        rows[:, 0] *= ih / FH
+        rows[:, 1] *= iw / FW
+        rows[:, 2] *= ih / FH
+        rows[:, 3] *= iw / FW
+        viz.corr_set(rgb_a, rgb_q, rows, np.asarray(out.corr_valid[i]),
+                     base + "_corrs.png")
+
+
 def make_text_cache(model, params):
     """Per-class prompt-embedding cache: encode each distinct class's
     prompts once and reuse across the sweep (the text tower would otherwise
@@ -245,6 +278,7 @@ def run_test_epoch(
     compute_vsd: bool = True,
     text_cache=None,
     save_hook=None,
+    viz_dir=None,
 ):
     """Host loop: iterate batches, run the device pipeline, register metrics
     (reference test_step + on_test_end, pipeline.py:306-370)."""
@@ -258,6 +292,8 @@ def run_test_epoch(
         out = pipeline_fn(sub, batch, text_emb)
         if save_hook is not None:
             save_hook(bi, batch, out)
+        if viz_dir is not None:
+            _viz_tracked(viz_dir, dataset, batch, out)
         B = batch.corrs.shape[0]
         det = np.asarray(out.detection_valid)
         n_corrs = np.asarray(out.n_corrs)

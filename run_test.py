@@ -99,10 +99,15 @@ def main(argv):
     elif cfg.test.only_save_featmaps:
         from oryon_tpu.utils.savers import make_featmap_saver
         save_hook = make_featmap_saver(os.path.join(rdir, "featmaps"))
+    viz_dir = None
+    if cfg.viz_valid:
+        viz_dir = os.path.join(rdir, "viz")
+        os.makedirs(viz_dir, exist_ok=True)
     with open(os.path.join(rdir, tag + ".csv"), "w") as csv_fp:
         n = run_test_epoch(pipe, ds, ev, cfg.dataset.batch_size, key,
                            csv_fp=csv_fp, compute_vsd=cfg.compute_vsd,
-                           text_cache=text_cache, save_hook=save_hook)
+                           text_cache=text_cache, save_hook=save_hook,
+                           viz_dir=viz_dir)
     with open(os.path.join(rdir, tag + ".json"), "w") as f:
         ev.save(f)
     for row in ev.test_summary():

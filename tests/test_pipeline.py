@@ -226,3 +226,21 @@ def test_save_hooks(tmp_path):
     import numpy as _np
     z = _np.load(tmp_path / "feats" / "featmaps_00000.npz")
     assert z["corrs"].shape[0] == 2
+
+
+def test_viz_tracked(tmp_path):
+    from oryon_tpu.pipeline import _viz_tracked
+    batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
+                                 orig_hw=(240, 320), n_corrs=64,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch)
+    fn = build_pipeline(model, None, _pipeline_cfg("ransac"))
+    out = fn(KEY, batch)
+
+    class DS:
+        tracked_instances = {str(batch.instance_id[0])}
+
+    _viz_tracked(str(tmp_path), DS(), batch, out)
+    import os
+    files = os.listdir(tmp_path)
+    assert any("mask" in f for f in files) and any("corrs" in f for f in files)
