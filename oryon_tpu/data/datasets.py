@@ -112,6 +112,12 @@ class NocsReader:
             mask = _imread(base + "_mask.png", "L")
         elif mask_type == "ovseg":
             mask = _imread(base + "_pred_mask.png", "L")
+        elif mask_type in ("san", "oryon"):
+            # external binary masks keyed by instance (utils/data/nocs.py:237-257)
+            path = join(self.root, f"{mask_type}_name",
+                        f"{scene_id} {img_id} {obj_name}.png")
+            ext = _imread(path, "L")
+            mask = None  # resolved below against mask_id
         else:
             raise ValueError(f"mask type {mask_type}")
         depth = _imread(base + "_depth.png")
@@ -130,6 +136,8 @@ class NocsReader:
                         pose[:3, :3] /= np.linalg.norm(pose[:3, :3], axis=1,
                                                        keepdims=True)
         assert mask_id is not None, f"{obj_name} not in {base}_meta.txt"
+        if mask is None:  # san/oryon external binary mask
+            mask = np.where(ext == 1, mask_id, 255).astype(np.uint8)
         names = self.obj_names[obj_name]
         return {
             "rgb": rgb.astype(np.float32) / 255.0,

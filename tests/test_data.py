@@ -276,3 +276,23 @@ def test_shapenet_reader(shapenet_root):
     assert item["cls_name"] == "chair"
     assert "seat" in item["cls_descs"]
     assert item["camera"][0, 0] == 500
+
+
+def test_box_from_mask():
+    from oryon_tpu.utils.misc import box_from_mask
+    m = np.zeros((10, 12), np.uint8)
+    m[2:5, 3:9] = 1
+    assert box_from_mask(m) == (2, 3, 5, 9)
+    assert box_from_mask(np.zeros((4, 4), np.uint8)) == (0, 0, 0, 0)
+
+
+def test_nocs_reader_external_san_mask(nocs_root):
+    from PIL import Image
+    d = join(nocs_root, "san_name")
+    os.makedirs(d, exist_ok=True)
+    ext = np.zeros((60, 80), np.uint8)
+    ext[25:35, 35:45] = 1
+    Image.fromarray(ext).save(join(d, "1 0 mug_1.png"))
+    r = NocsReader(nocs_root)
+    item = r.get_item(1, 0, "mug_1", mask_type="san")
+    assert item["mask"].sum() == 100
