@@ -296,3 +296,36 @@ def test_nocs_reader_external_san_mask(nocs_root):
     r = NocsReader(nocs_root)
     item = r.get_item(1, 0, "mug_1", mask_type="san")
     assert item["mask"].sum() == 100
+
+
+def test_asset_builders(nocs_root):
+    import importlib.util as iu
+    spec = iu.spec_from_file_location("assets", "scripts/make_dataset_assets.py")
+    assets = iu.module_from_spec(spec)
+    spec.loader.exec_module(assets)
+
+    n = assets.build_detections(nocs_root)
+    assert n == 3
+    det = open(join(nocs_root, "split/real_test/scene_1/0000_detection.txt")).read()
+    assert det.startswith("7 30 20")
+
+    out = assets.build_models_info(nocs_root)
+    info = json.load(open(out))
+    assert "mug_1" in info and info["mug_1"]["diameter"] > 0
+    assert "symmetries_continuous" not in info["mug_1"]  # mug isn't symmetric
+
+    n = assets.build_normals(nocs_root)
+    assert n == 1
+    normals = np.loadtxt(join(nocs_root, "obj_models/real_test/mug_1_normals.txt"))
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-5)
+
+
+def test_vertex_normals_plane():
+    import importlib.util as iu
+    spec = iu.spec_from_file_location("assets", "scripts/make_dataset_assets.py")
+    assets = iu.module_from_spec(spec)
+    spec.loader.exec_module(assets)
+    V = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float64)
+    F = np.array([[0, 1, 2], [1, 3, 2]])
+    n = assets.compute_vertex_normals(V, F)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-9)
