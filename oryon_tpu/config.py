@@ -53,6 +53,7 @@ class ImageEncoderConfig:
 @dataclass
 class ModelConfig:
     use_catseg_ckpt: bool = True
+    size: str = "full"  # full | small | tiny (small/tiny for smoke tests)
     image_encoder: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
 
 

@@ -123,6 +123,31 @@ def full_oryon(dtype: Any = jnp.bfloat16) -> OryonModel:
     return OryonModel(dtype=dtype)
 
 
+MODEL_FACTORIES = {"full": full_oryon}  # extended below
+
+
+def small_oryon(dtype: Any = jnp.float32) -> OryonModel:
+    """CLI smoke-test configuration: real tokenizer vocab/context (49408/77)
+    with small towers; 64² output. Lets run_train/run_test execute end to end
+    on fixture datasets without the 300M-parameter towers."""
+    return OryonModel(
+        vision_cfg=ClipVisionConfig(image_size=112, patch_size=14, width=64,
+                                    layers=2, heads=4),
+        text_cfg=ClipTextConfig(vocab_size=49408, context_length=77, width=64,
+                                layers=2, heads=4, embed_dim=64),
+        swin_cfg=SwinConfig(embed_dim=128, depths=(2, 2), heads=(4, 8), window=7),
+        swin_image_size=128,
+        fusion_cfg=FusionConfig(hidden_dim=128, text_guidance_dim=64,
+                                text_guidance_proj_dim=128,
+                                appearance_guidance_dim=512,
+                                appearance_proj_dim=128, num_layers=2,
+                                nheads=4, window=4, pooling=2,
+                                num_prompts=8, clip_dim=64, clip_proj_dim=64),
+        decoder_cfg=DecoderConfig(),
+        dtype=dtype,
+    )
+
+
 def tiny_oryon(dtype: Any = jnp.float32) -> OryonModel:
     """Scaled-down configuration for tests: same topology, ~1000x fewer FLOPs.
 
@@ -144,3 +169,11 @@ def tiny_oryon(dtype: Any = jnp.float32) -> OryonModel:
         decoder_cfg=DecoderConfig(),
         dtype=dtype,
     )
+
+
+MODEL_FACTORIES.update({"small": small_oryon, "tiny": tiny_oryon})
+
+
+def build_model(size: str = "full", dtype: Any = None) -> OryonModel:
+    factory = MODEL_FACTORIES[size]
+    return factory(dtype) if dtype is not None else factory()

@@ -110,7 +110,11 @@ def nn_correspondences(
     H, W, D = feats1.shape
     k_src, k_out = jax.random.split(key)
 
-    src_idx, src_valid = masked_select(mask1, k_src, params.src_capacity)
+    # static clamps so small feature maps work with production capacities
+    src_cap = min(params.src_capacity, H * W)
+    chunk = params.chunk if (H * W) % params.chunk == 0 else H * W
+
+    src_idx, src_valid = masked_select(mask1, k_src, src_cap)
     src_yx = flat_to_yx(src_idx, W)
     src_feats = _unit(feats1.reshape(H * W, D)[src_idx].astype(jnp.float32))
 
@@ -121,7 +125,7 @@ def nn_correspondences(
         from oryon_tpu.ops.pallas.match_kernel import masked_argmin_pallas
         min_d, arg = masked_argmin_pallas(src_feats, tgt_feats, tgt_bad)
     else:
-        min_d, arg = _streaming_argmin(src_feats, tgt_feats, tgt_bad, params.chunk)
+        min_d, arg = _streaming_argmin(src_feats, tgt_feats, tgt_bad, chunk)
     tgt_yx = flat_to_yx(arg, W)
 
     good = src_valid & (min_d < params.dist_th)

@@ -18,6 +18,16 @@ from datetime import datetime
 import numpy as np
 
 
+def _pick_reader(readers, name):
+    """Reader by dataset name; prefix match tolerates suffixed dirs."""
+    if name in readers:
+        return readers[name]
+    for k, r in readers.items():
+        if name.startswith(k):
+            return r
+    raise KeyError(f"no reader for dataset {name}")
+
+
 def main(argv):
     overrides = [a for a in argv if "=" in a and not a.startswith("--")]
     cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
@@ -32,7 +42,7 @@ def main(argv):
     from oryon_tpu.checkpoint import init_experiment, restore_checkpoint, results_dir
     from oryon_tpu.data.datasets import NocsReader, PairDataset, ToylReader
     from oryon_tpu.eval.evaluator import Evaluator
-    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.models.oryon import build_model
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
     from oryon_tpu.models.tokenizer import ClipTokenizer
     from oryon_tpu.ops.matching import MatchParams
@@ -45,7 +55,7 @@ def main(argv):
     readers = {"nocs": NocsReader, "toyl": ToylReader}
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
-    ds = PairDataset(readers[cfg.dataset.test.name](root), cfg.dataset.test.split,
+    ds = PairDataset(_pick_reader(readers, cfg.dataset.test.name)(root), cfg.dataset.test.split,
                      tokenizer, max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size, augment=False,
                      debug_valid=cfg.debug_valid, mask_type="oracle"
@@ -53,7 +63,7 @@ def main(argv):
     print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
           f" Samples: {len(ds)}")
 
-    model = full_oryon()
+    model = build_model(cfg.model.size)
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)

@@ -16,6 +16,16 @@ import sys
 import numpy as np
 
 
+def _pick_reader(readers, name):
+    """Reader by dataset name; prefix match tolerates suffixed dirs."""
+    if name in readers:
+        return readers[name]
+    for k, r in readers.items():
+        if name.startswith(k):
+            return r
+    raise KeyError(f"no reader for dataset {name}")
+
+
 def main(argv):
     overrides = [a for a in argv if "=" in a]
     cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
@@ -34,7 +44,7 @@ def main(argv):
         NocsReader, PairDataset, Shapenet6DReader, ToylReader,
     )
     from oryon_tpu.losses.feature_loss import FeatureLossConfig
-    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.models.oryon import build_model
     from oryon_tpu.models.tokenizer import ClipTokenizer
     from oryon_tpu.parallel import make_mesh, replicate, shard_batch
     from oryon_tpu.train import create_train_state, jit_train_step
@@ -49,7 +59,7 @@ def main(argv):
     root = os.path.join(cfg.dataset.root, cfg.dataset.train.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
     train_ds = PairDataset(
-        readers[cfg.dataset.train.name](root), cfg.dataset.train.split,
+        _pick_reader(readers, cfg.dataset.train.name)(root), cfg.dataset.train.split,
         tokenizer, max_corrs=cfg.dataset.max_corrs,
         img_size=cfg.dataset.img_size, augment=True,
         synset_aug=cfg.augs.text.synset, mask_type="oracle",
@@ -68,7 +78,7 @@ def main(argv):
         w_mask=cfg.loss.w.mask, w_pos=cfg.loss.w.pos, w_neg=cfg.loss.w.neg,
     )
 
-    model = full_oryon()
+    model = build_model(cfg.model.size)
     key = jax.random.PRNGKey(cfg.seed)
     sample = next(train_ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, lr=cfg.optimization.lr,

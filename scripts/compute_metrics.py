@@ -34,6 +34,16 @@ def parse_csv(path):
     return rows
 
 
+def _pick_reader(readers, name):
+    """Reader by dataset name; prefix match tolerates suffixed dirs."""
+    if name in readers:
+        return readers[name]
+    for k, r in readers.items():
+        if name.startswith(k):
+            return r
+    raise KeyError(f"no reader for dataset {name}")
+
+
 def main(argv):
     csv_path = argv[0]
     overrides = [a for a in argv[1:] if "=" in a]
@@ -46,7 +56,7 @@ def main(argv):
 
     readers = {"nocs": NocsReader, "toyl": ToylReader}
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
-    ds = PairDataset(readers[cfg.dataset.test.name](root),
+    ds = PairDataset(_pick_reader(readers, cfg.dataset.test.name)(root),
                      cfg.dataset.test.split, ClipTokenizer(),
                      max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size)

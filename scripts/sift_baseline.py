@@ -44,6 +44,16 @@ def sift_match(rgb_a, mask_a, rgb_q, mask_q, ratio=0.8, max_corrs=500):
     return np.asarray(rows[:max_corrs]).round().astype(np.int32)
 
 
+def _pick_reader(readers, name):
+    """Reader by dataset name; prefix match tolerates suffixed dirs."""
+    if name in readers:
+        return readers[name]
+    for k, r in readers.items():
+        if name.startswith(k):
+            return r
+    raise KeyError(f"no reader for dataset {name}")
+
+
 def main(argv):
     overrides = [a for a in argv if "=" in a]
     from oryon_tpu.config import load_config
@@ -59,7 +69,7 @@ def main(argv):
 
     readers = {"nocs": NocsReader, "toyl": ToylReader}
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
-    reader = readers[cfg.dataset.test.name](root)
+    reader = _pick_reader(readers, cfg.dataset.test.name)(root)
     ds = PairDataset(reader, cfg.dataset.test.split, ClipTokenizer(),
                      max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size)

@@ -1,0 +1,89 @@
+"""End-to-end CLI smoke tests on fixture data (small model, CPU)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.getcwd())
+from tests.test_data import nocs_root  # fixture reuse  # noqa: F401
+
+
+def test_run_test_cli(nocs_root, tmp_path, capsys):
+    import run_test
+    run_test.main([
+        f"dataset.root={os.path.dirname(nocs_root)}",
+        f"dataset.test.name={os.path.basename(nocs_root)}",
+        "dataset.test.split=test_split",
+        "model.size=small",
+        "compute_vsd=false",
+        "dataset.batch_size=2",
+        "dataset.img_size=[56,56]",
+        "test.solver=ransac",
+        f"exp_root={tmp_path}",
+        "exp_name=smoke",
+    ])
+    captured = capsys.readouterr().out
+    assert "registered 2 pairs" in captured
+    assert "Ours &" in captured
+    rdir = tmp_path / "smoke" / "results"
+    files = os.listdir(rdir)
+    assert any(f.endswith(".csv") for f in files)
+    assert any(f.endswith(".json") for f in files)
+    csv = [f for f in files if f.endswith(".csv")][0]
+    lines = open(rdir / csv).readlines()
+    assert len(lines) == 2 and len(lines[0].split(",")) == 5
+
+
+def test_run_train_cli(nocs_root, tmp_path, capsys):
+    import run_train
+    run_train.main([
+        f"dataset.root={os.path.dirname(nocs_root)}",
+        f"dataset.train.name={os.path.basename(nocs_root)}",
+        "dataset.train.split=test_split",
+        "dataset.test.name=missing",      # skip validation dataset
+        "model.size=small",
+        "dataset.batch_size=2",
+        "dataset.img_size=[56,56]",
+        "training.n_epochs=2",
+        "training.freq_save=2",
+        "training.freq_valid=99",
+        f"exp_root={tmp_path}",
+        "exp_name=train_smoke",
+    ])
+    captured = capsys.readouterr().out
+    assert "epoch 0" in captured and "epoch 1" in captured
+    assert "saved" in captured
+    models = os.listdir(tmp_path / "train_smoke" / "models")
+    assert any("epoch=0001" in m for m in models)
+    logs = os.listdir(tmp_path / "train_smoke" / "logs")
+    assert any(l.endswith(".jsonl") for l in logs)
+
+
+def test_compute_metrics_cli_cross_scores(nocs_root, tmp_path, capsys):
+    """Double-entry scoring: offline scorer consumes run_test's CSV."""
+    import run_test
+    run_test.main([
+        f"dataset.root={os.path.dirname(nocs_root)}",
+        f"dataset.test.name={os.path.basename(nocs_root)}",
+        "dataset.test.split=test_split", "model.size=small",
+        "compute_vsd=false", "dataset.batch_size=2",
+        "dataset.img_size=[56,56]", "test.solver=ransac",
+        f"exp_root={tmp_path}", "exp_name=smoke2",
+    ])
+    capsys.readouterr()
+    rdir = tmp_path / "smoke2" / "results"
+    csv = [f for f in os.listdir(rdir) if f.endswith(".csv")][0]
+
+    import importlib.util as iu
+    spec = iu.spec_from_file_location("cm", "scripts/compute_metrics.py")
+    cm = iu.module_from_spec(spec)
+    spec.loader.exec_module(cm)
+    cm.main([str(rdir / csv),
+             f"dataset.root={os.path.dirname(nocs_root)}",
+             f"dataset.test.name={os.path.basename(nocs_root)}",
+             "dataset.test.split=test_split", "compute_vsd=false"])
+    outp = capsys.readouterr().out
+    assert "Ours &" in outp
+    assert "WARNING" not in outp  # every CSV row matched a split instance
+    assert os.path.exists(str(rdir / csv).replace(".csv", "_recomputed.json"))
