@@ -42,7 +42,8 @@ def _kernel(src_ref, tgt_ref, bad_ref, min_ref, arg_ref):
         min_ref[:] = jnp.full_like(min_ref, jnp.inf)
         arg_ref[:] = jnp.zeros_like(arg_ref)
 
-    cos = jnp.dot(src_ref[:], tgt_ref[:].T, preferred_element_type=jnp.float32)
+    cos = jnp.dot(src_ref[:], tgt_ref[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     dist = 0.5 * (1.0 - cos) + bad_ref[0, :][None, :] * BIG   # [TS, TC]
 
     cmin = jnp.min(dist, axis=1)                               # [TS]
