@@ -202,14 +202,19 @@ class ToylReader:
                  mask_type: str = "oracle") -> Dict:
         base = join(self.root, "split", "test", f"{scene_id:06d}")
         rgb = _imread(join(base, "rgb", f"{img_id:06d}.png"), "RGB")
+        ann = self.annots[f"{scene_id}_{img_id}"][str(int(cls_id))]
         if mask_type == "oracle":
             mask = _imread(join(base, "mask_visib", f"{img_id:06d}.png"), "L")
         elif mask_type == "ovseg":
             mask = _imread(join(base, "mask_pred", f"{img_id:06d}.png"), "L")
+        elif mask_type in ("san", "oryon"):
+            path = join(self.root, f"{mask_type}_name",
+                        f"{scene_id} {img_id} {int(cls_id)}.png")
+            ext = _imread(path, "L")
+            mask = np.where(ext == 1, ann["mask_idx"], 255).astype(np.uint8)
         else:
             raise ValueError(f"mask type {mask_type}")
         depth = _imread(join(base, "depth", f"{img_id:06d}.png"))
-        ann = self.annots[f"{scene_id}_{img_id}"][str(int(cls_id))]
         names = self.obj_names[str(int(cls_id))]
         return {
             "rgb": rgb.astype(np.float32) / 255.0,

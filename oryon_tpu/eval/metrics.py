@@ -97,3 +97,12 @@ def fmr(
 
 def _unit(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def entropy(probs: jnp.ndarray, axis: int, norm: bool = False) -> jnp.ndarray:
+    """Entropy along an axis, optionally normalized to [0, 1]
+    (reference utils/metrics.py:43-57)."""
+    h = -jnp.sum(probs * jnp.log(probs + 1e-12), axis=axis)
+    if norm:
+        h = h / jnp.log(probs.shape[axis])
+    return h
