@@ -315,6 +315,7 @@ class PairDataset:
         mask_type: str = "oracle",
         seed: int = 0,
         n_prompts: int = 81,
+        obj_split: str = "all",
     ):
         self.reader = reader
         self.tokenizer = tokenizer
@@ -332,6 +333,14 @@ class PairDataset:
         root = reader.root
         with open(join(root, "templates.json")) as f:
             self.templates = json.load(f)
+
+        # per-object split filter (reference object_splits.json,
+        # datasets.py:399-401): restricts pairs to the listed class ids
+        self.obj_ids = None
+        split_file = join(root, "object_splits.json")
+        if obj_split != "all" and os.path.exists(split_file):
+            with open(split_file) as f:
+                self.obj_ids = {int(c) for c in json.load(f)[obj_split]}
 
         path = join(root, "fixed_split", split)
         self.instances: List[Tuple] = []
@@ -361,6 +370,8 @@ class PairDataset:
             scene_a, img_a = [int(n) for n in id_a.split(" ") if n != ""]
             scene_q, img_q = [int(n) for n in id_q.split(" ") if n != ""]
             cat_id, obj_name = cat.strip().split(" ")
+            if self.obj_ids is not None and int(cat_id) not in self.obj_ids:
+                continue
             key = "_".join(str(e) for e in
                            (scene_a, img_a, scene_q, img_q, cat_id, obj_name))
             pose = np.array(annots[key]["gt"], np.float64)

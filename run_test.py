@@ -59,7 +59,8 @@ def main(argv):
                      tokenizer, max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size, augment=False,
                      debug_valid=cfg.debug_valid, mask_type="oracle"
-                     if cfg.test.mask == "predicted" else cfg.test.mask)
+                     if cfg.test.mask == "predicted" else cfg.test.mask,
+                     obj_split=str(cfg.dataset.test.obj))
     print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
           f" Samples: {len(ds)}")
 

@@ -64,6 +64,7 @@ def main(argv):
         img_size=cfg.dataset.img_size, augment=True,
         synset_aug=cfg.augs.text.synset, mask_type="oracle",
         seed=cfg.seed if cfg.use_seed else 0,
+        obj_split=str(cfg.dataset.train.obj),
     )
     print(f"TRAINING on {cfg.dataset.train.name}, split "
           f"{cfg.dataset.train.split}. Samples: {len(train_ds)}")

@@ -329,3 +329,15 @@ def test_vertex_normals_plane():
     F = np.array([[0, 1, 2], [1, 3, 2]])
     n = assets.compute_vertex_normals(V, F)
     np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-9)
+
+
+def test_object_split_filter(nocs_root):
+    with open(join(nocs_root, "object_splits.json"), "w") as f:
+        json.dump({"all": [3], "none_split": [99]}, f)
+    tok = ClipTokenizer()
+    ds_all = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                         max_corrs=8, img_size=(56, 56), obj_split="all")
+    assert len(ds_all) == 2
+    ds_none = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                          max_corrs=8, img_size=(56, 56), obj_split="none_split")
+    assert len(ds_none) == 0
