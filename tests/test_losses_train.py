@@ -216,3 +216,24 @@ def test_train_step_dp_tp_mesh():
     _, metrics_ref = jax.jit(train_step)(state, dbatch, jax.random.PRNGKey(0))
     assert float(metrics["loss/total"]) == pytest.approx(
         float(metrics_ref["loss/total"]), rel=1e-3)
+
+
+def test_training_learns_segmentation():
+    """Overfit one synthetic batch: mask IoU must climb from random-init
+    (~0.05) to a clear majority (end-to-end learning signal through the
+    fusion+decoder path; towers stay frozen)."""
+    from oryon_tpu.train import create_train_state, jit_train_step
+    batch = synthetic_pair_batch(seed=1, batch=2, img_hw=(32, 32),
+                                 orig_hw=(128, 160), n_corrs=64,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = tiny_oryon()
+    state = create_train_state(model, KEY, batch, lr=2e-3, total_steps=400)
+    step = jit_train_step(donate=False)
+    first_iou = None
+    for i in range(30):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if first_iou is None:
+            first_iou = float(m["metric/iou_a"])
+    final_iou = float(m["metric/iou_a"])
+    assert final_iou > 0.5, f"iou {first_iou} -> {final_iou}"
+    assert float(m["loss/pos"]) < 0.01
