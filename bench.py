@@ -108,4 +108,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the remote-compile relay occasionally drops
+        import sys, time, traceback
+        traceback.print_exc(file=sys.stderr)
+        print("bench retrying once after transport error", file=sys.stderr)
+        time.sleep(20)
+        main()

@@ -256,3 +256,127 @@ def pred_pose_csv_line(id_a: str, id_q: str, iou_a: float, iou_q: float,
     """Reference CSV line (pipeline.py:490-497)."""
     pose_str = " ".join(str(n) for n in np.asarray(pred_pose)[:3, :].flatten())
     return ",".join([id_a, id_q, pose_str, str(iou_a), str(iou_q)]) + "\n"
+
+
+class BatchedEvaluator(Evaluator):
+    """Evaluator with a batched fast path.
+
+    The per-pair API above mirrors the reference exactly but pays one
+    device->host round trip per metric call — through this environment's
+    device tunnel that is ~25 ms/call, i.e. minutes over a 2000-pair sweep.
+    ``register_test_batch`` groups pairs by object class, runs ONE jitted,
+    vmapped metric program per class (R/T errors, ADD(S)-0.1d, MSSD/MSPD
+    recalls, optional batched VSD renders), and fetches the whole batch with
+    a single host copy. Values are identical to the per-pair path (same
+    kernels, vmapped)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._batch_fns: Dict = {}
+
+    def _class_fn(self, cls_id):
+        if cls_id in self._batch_fns:
+            return self._batch_fns[cls_id]
+        import jax
+
+        obj = self.get_obj_info(cls_id)
+        pts = jnp.asarray(obj.pts)
+        pts_m = pts / 1000.0
+        syms = jnp.asarray(obj.syms)
+        symmetric = obj.syms.shape[0] > 1
+        add_diam = float(np.asarray(diameter(pts))) / 1000.0
+        diam = obj.diameter
+        mesh = obj.mesh
+        delta, taus = self.vsd_delta, self.vsd_taus
+        hw = self.render_hw
+        compute_vsd = self.compute_vsd
+
+        from oryon_tpu.eval.metrics import compute_add as _add
+        from oryon_tpu.eval.metrics import compute_adds as _adds
+
+        @jax.jit
+        def run(pred, gt, K, depth):
+            """pred/gt [B,4,4] (m); K [B,3,3]; depth [B,H,W] or zeros."""
+            errR, errT = rotation_translation_errors(pred, gt)
+            adds = jax.vmap(lambda p, g: (_adds if symmetric else _add)(pts_m, p, g))(pred, gt)
+            add_ok = (adds <= add_diam * 0.1).astype(jnp.float32)
+
+            def one(p, g, k):
+                pr, pt = p[:3, :3], p[:3, 3] * 1000
+                gr, gt_ = g[:3, :3], g[:3, 3] * 1000
+                m1 = mssd_recall(mssd(pr, pt, gr, gt_, pts, syms), diam)
+                m2 = mspd_recall(mspd(pr, pt, gr, gt_, k, pts, syms))
+                return m1, m2
+
+            mssd_r, mspd_r = jax.vmap(one)(pred, gt, K)
+            out = {"errR": errR, "errT": errT, "add": add_ok,
+                   "mssd": mssd_r, "mspd": mspd_r}
+            if compute_vsd:
+                from oryon_tpu.eval.renderer import render_depth
+
+                def one_vsd(p, g, k, d):
+                    d_est = render_depth(mesh, p[:3, :3], p[:3, 3] * 1000, k, hw)
+                    d_gt = render_depth(mesh, g[:3, :3], g[:3, 3] * 1000, k, hw)
+                    return vsd_recall(vsd_errors(d_est, d_gt, d, k, delta,
+                                                 taus, diam))
+
+                out["vsd"] = jax.vmap(one_vsd)(pred, gt, K, depth)
+            return out
+
+        self._batch_fns[cls_id] = run
+        return run
+
+    def register_test_batch(self, iou_a, iou_q, gt_pose, pred_pose,
+                            pred_pose_rel, cls_ids, cameras, depths,
+                            instance_ids):
+        """Batched registration; semantics of N register_test calls."""
+        B = len(cls_ids)
+        pred_pose = np.asarray(pred_pose, np.float32).copy()
+        pred_pose_rel = np.asarray(pred_pose_rel, np.float32)
+        gt_pose = np.asarray(gt_pose, np.float32)
+        zero = (np.count_nonzero(pred_pose_rel.reshape(B, -1), axis=1) <= 1)
+        failed = np.all(pred_pose_rel == np.eye(4, dtype=np.float32), axis=(1, 2))
+        pred_pose[zero] = np.eye(4, dtype=np.float32)
+
+        by_cls: Dict = {}
+        for i, c in enumerate(cls_ids):
+            by_cls.setdefault(c, []).append(i)
+
+        res = np.zeros((B, 6), np.float64)  # errR errT add mssd mspd vsd
+        for c, idxs in by_cls.items():
+            fn = self._class_fn(c)
+            sel = np.asarray(idxs)
+            d = (np.asarray(depths, np.float32)[sel] if depths is not None
+                 else np.zeros((len(sel),) + self.render_hw, np.float32))
+            out = fn(jnp.asarray(pred_pose[sel]), jnp.asarray(gt_pose[sel]),
+                     jnp.asarray(np.asarray(cameras, np.float32)[sel]),
+                     jnp.asarray(d))
+            out = {k: np.asarray(v) for k, v in out.items()}  # one fetch
+            res[sel, 0] = out["errR"]
+            res[sel, 1] = out["errT"]
+            res[sel, 2] = out["add"]
+            res[sel, 3] = out["mssd"]
+            res[sel, 4] = out["mspd"]
+            if self.compute_vsd:
+                res[sel, 5] = out["vsd"]
+
+        self.register_train(iou_a, iou_q)
+        for i in range(B):
+            self.counts["Missing segm"].append(0)
+            self.counts["Failed pose"].append(int(failed[i]))
+            self.counts["Zero pose"].append(int(zero[i]))
+            errR, errT = res[i, 0], res[i, 1]
+            self.metrics["R error"].append(float(errR))
+            self.metrics["T error"].append(float(errT))
+            for r_th, t_th in self.POSE_RECALL_TH:
+                self.metrics[f"Recall ({r_th}deg, {t_th}cm)"].append(
+                    float(errR <= r_th and errT <= t_th))
+            self.metrics["ADD(S)-0.1d"].append(float(res[i, 2]))
+            self.metrics["MSSD"].append(float(res[i, 3]))
+            self.metrics["MSPD"].append(float(res[i, 4]))
+            if self.compute_vsd:
+                self.metrics["VSD"].append(float(res[i, 5]))
+                self.metrics["AR"].append(
+                    float((res[i, 3] + res[i, 4] + res[i, 5]) / 3.0))
+            self.metrics["cls_id"].append(cls_ids[i])
+            self.metrics["instance_id"].append(instance_ids[i])

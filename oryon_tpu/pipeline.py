@@ -306,20 +306,31 @@ def run_test_epoch(
         cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
         depths = np.asarray(batch.query.eval_depth)
 
+        batched = hasattr(evaluator, "register_test_batch")
+        ok_idx = [i for i in range(B)
+                  if valid[i] != 0 and det[i] and n_corrs[i] >= 4]
+        if batched and ok_idx:
+            sel = np.asarray(ok_idx)
+            evaluator.register_test_batch(
+                iou_a[sel], iou_q[sel], gt_pose_q[sel], pred_q[sel],
+                pred_rel[sel], [batch.cls_id[i] for i in ok_idx],
+                cameras[sel], depths[sel] if compute_vsd else None,
+                [batch.instance_id[i] for i in ok_idx])
         for i in range(B):
             if valid[i] == 0:  # padding rows
                 continue
             n_registered += 1
             if det[i] and n_corrs[i] >= 4:
-                evaluator.register_test(
-                    iou_a[i], iou_q[i],
-                    gt_pose=gt_pose_q[i], pred_pose=pred_q[i],
-                    pred_pose_rel=pred_rel[i],
-                    camera=cameras[i],
-                    depth=depths[i] if compute_vsd else None,
-                    cls_id=batch.cls_id[i],
-                    instance_id=batch.instance_id[i],
-                )
+                if not batched:
+                    evaluator.register_test(
+                        iou_a[i], iou_q[i],
+                        gt_pose=gt_pose_q[i], pred_pose=pred_q[i],
+                        pred_pose_rel=pred_rel[i],
+                        camera=cameras[i],
+                        depth=depths[i] if compute_vsd else None,
+                        cls_id=batch.cls_id[i],
+                        instance_id=batch.instance_id[i],
+                    )
                 pose_out = pred_rel[i]
             else:
                 evaluator.register_test_failure(

@@ -41,7 +41,7 @@ def main(argv):
 
     from oryon_tpu.checkpoint import init_experiment, restore_checkpoint, results_dir
     from oryon_tpu.data.datasets import NocsReader, PairDataset, ToylReader
-    from oryon_tpu.eval.evaluator import Evaluator
+    from oryon_tpu.eval.evaluator import BatchedEvaluator as Evaluator
     from oryon_tpu.models.oryon import build_model
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
     from oryon_tpu.models.tokenizer import ClipTokenizer

@@ -171,3 +171,52 @@ def test_csv_line_format():
     assert len(parts) == 5
     assert len(parts[2].split(" ")) == 12
     assert parts[3] == "0.5" and parts[4] == "0.75"
+
+
+def test_batched_evaluator_matches_per_pair(rng):
+    """register_test_batch == N register_test calls on mixed classes."""
+    from oryon_tpu.eval.evaluator import BatchedEvaluator
+    from tests.conftest import random_pose
+
+    def build(ev_cls):
+        ev = ev_cls("t", compute_vsd=True)
+        ev.render_hw = HW
+        V, F = icosphere()
+        mesh = pad_mesh(V, F)
+        pts = V[np.random.RandomState(0).choice(len(V), 150)]
+        sym_id = np.eye(3, 4, dtype=np.float32)[None]
+        R180 = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+        syms2 = np.stack([np.eye(3, 4, dtype=np.float32),
+                          np.concatenate([R180, np.zeros((3, 1), np.float32)], 1)])
+        ev.add_object_info({"a": ObjectInfo(pts, 60.0, sym_id, mesh),
+                            "b": ObjectInfo(pts, 60.0, syms2, mesh)})
+        ev.init_test()
+        return ev, mesh
+
+    rs = np.random.RandomState(2)
+    B = 5
+    gt = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    gt[:, 2, 3] = 0.4
+    pred = gt.copy()
+    for i in range(B):
+        pred[i] = random_pose(rs, 0.005).astype(np.float32) @ gt[i]
+    cls_ids = ["a", "b", "a", "b", "a"]
+    from oryon_tpu.eval.renderer import render_depth
+    ev1, mesh = build(BatchedEvaluator)
+    depth = np.asarray(render_depth(mesh, jnp.eye(3), jnp.array([0, 0, 400.0]),
+                                    jnp.array(K), HW))
+    depths = np.tile(depth, (B, 1, 1))
+    cams = np.tile(K, (B, 1, 1))
+    iou = np.full(B, 0.8)
+    ev1.register_test_batch(iou, iou, gt, pred, pred, cls_ids, cams, depths,
+                            [f"i{i}" for i in range(B)])
+
+    ev2, _ = build(BatchedEvaluator)
+    for i in range(B):
+        ev2.register_test(iou[i], iou[i], gt_pose=gt[i], pred_pose=pred[i],
+                          pred_pose_rel=pred[i], camera=K, depth=depth,
+                          cls_id=cls_ids[i], instance_id=f"i{i}")
+    m1, m2 = ev1.get_means(), ev2.get_means()
+    for k in m2:
+        assert m1[k] == pytest.approx(m2[k], abs=1e-4), k
+    assert ev1.metrics["instance_id"] == ev2.metrics["instance_id"]
