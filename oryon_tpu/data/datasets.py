@@ -151,7 +151,7 @@ class NocsReader:
         }
 
     def object_info(self, n_faces: Optional[int] = None,
-                    max_edge: Optional[float] = 4.0) -> Dict[str, ObjectInfo]:
+                    max_edge: Optional[float] = 2.0) -> Dict[str, ObjectInfo]:
         out = {}
         with open(join(self.root, "obj_models", "real_test", "models_info.json")) as f:
             infos = json.load(f)
@@ -228,7 +228,7 @@ class ToylReader:
         }
 
     def object_info(self, n_faces: Optional[int] = None,
-                    max_edge: Optional[float] = 4.0) -> Dict[int, ObjectInfo]:
+                    max_edge: Optional[float] = 2.0) -> Dict[int, ObjectInfo]:
         out = {}
         mdir = join(self.root, "models_bop")
         with open(join(mdir, "models_info.json")) as f:
@@ -462,10 +462,15 @@ class PairDataset:
         )
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                drop_last: bool = False):
+                drop_last: bool = False, sort_by_class: bool = False):
         """Yield PairBatches; final short batch is padded with invalid
-        duplicates so shapes stay static."""
+        duplicates so shapes stay static.  ``sort_by_class`` groups pairs of
+        the same object class into the same batches (fewer per-class metric
+        programs per batch at test time)."""
         order = np.arange(len(self))
+        if sort_by_class:
+            keys = [str(inst[4]) for inst in self.instances]
+            order = order[np.argsort(np.asarray(keys)[order], kind="stable")]
         if shuffle:
             self.rs.shuffle(order)
         for start in range(0, len(order), batch_size):

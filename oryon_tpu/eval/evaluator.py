@@ -166,8 +166,8 @@ class Evaluator:
         if self.compute_vsd:
             assert depth is not None and obj.mesh is not None, \
                 "VSD needs the scene depth and the object mesh"
-            d_est = render_depth(obj.mesh, pr, pt, K, self.render_hw)
-            d_gt = render_depth(obj.mesh, gr, gt_, K, self.render_hw)
+            d_est = render_depth(obj.mesh, pr, pt, K, self.render_hw, tile=8)
+            d_gt = render_depth(obj.mesh, gr, gt_, K, self.render_hw, tile=8)
             errs = vsd_errors(d_est, d_gt, jnp.asarray(depth, jnp.float32), K,
                               self.vsd_delta, self.vsd_taus, obj.diameter)
             mean_vsd = float(vsd_recall(errs))
@@ -315,8 +315,10 @@ class BatchedEvaluator(Evaluator):
                 from oryon_tpu.eval.renderer import render_depth
 
                 def one_vsd(p, g, k, d):
-                    d_est = render_depth(mesh, p[:3, :3], p[:3, 3] * 1000, k, hw)
-                    d_gt = render_depth(mesh, g[:3, :3], g[:3, 3] * 1000, k, hw)
+                    d_est = render_depth(mesh, p[:3, :3], p[:3, 3] * 1000, k,
+                                         hw, tile=8)
+                    d_gt = render_depth(mesh, g[:3, :3], g[:3, 3] * 1000, k,
+                                        hw, tile=8)
                     return vsd_recall(vsd_errors(d_est, d_gt, d, k, delta,
                                                  taus, diam))
 
@@ -343,6 +345,7 @@ class BatchedEvaluator(Evaluator):
             by_cls.setdefault(c, []).append(i)
 
         res = np.zeros((B, 6), np.float64)  # errR errT add mssd mspd vsd
+        pending = []
         for c, idxs in by_cls.items():
             fn = self._class_fn(c)
             sel = np.asarray(idxs)
@@ -351,7 +354,9 @@ class BatchedEvaluator(Evaluator):
             out = fn(jnp.asarray(pred_pose[sel]), jnp.asarray(gt_pose[sel]),
                      jnp.asarray(np.asarray(cameras, np.float32)[sel]),
                      jnp.asarray(d))
-            out = {k: np.asarray(v) for k, v in out.items()}  # one fetch
+            pending.append((sel, out))  # keep device arrays; fetch later
+        for sel, out in pending:
+            out = {k: np.asarray(v) for k, v in out.items()}
             res[sel, 0] = out["errR"]
             res[sel, 1] = out["errT"]
             res[sel, 2] = out["add"]

@@ -152,9 +152,14 @@ def render_depth(
     yi = py.astype(jnp.int32)
     ok = (inside & front[:, None, None]
           & (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))
-    flat = jnp.where(ok, yi * W + xi, H * W)          # masked lanes -> dump slot
+    # masked lanes get UNIQUE dump slots beyond the image: funneling them all
+    # to one slot creates a scatter collision chain that serializes the whole
+    # z-buffer (measured ~10x slowdown)
+    n_lanes = ok.size
+    lane_ids = jnp.arange(n_lanes, dtype=jnp.int32).reshape(ok.shape)
+    flat = jnp.where(ok, yi * W + xi, H * W + lane_ids)
 
-    zbuf = jnp.full((H * W + 1,), jnp.inf, jnp.float32)
+    zbuf = jnp.full((H * W + n_lanes,), jnp.inf, jnp.float32)
     zbuf = zbuf.at[flat.reshape(-1)].min(depth.reshape(-1))
     img = zbuf[: H * W].reshape(H, W)
     return jnp.where(jnp.isinf(img), 0.0, img)

@@ -285,15 +285,46 @@ def run_test_epoch(
     from oryon_tpu.eval.evaluator import pred_pose_csv_line
 
     n_registered = 0
-    for bi, batch in enumerate(dataset.batches(batch_size)):
-        key, sub = jax.random.split(key)
+
+    def dispatch(batch, key):
         text_emb = (text_cache(batch.cls_id, batch.prompt_ids)
                     if text_cache is not None else None)
-        out = pipeline_fn(sub, batch, text_emb)
+        return pipeline_fn(key, batch, text_emb)
+
+    # one-batch lookahead: dispatch batch n+1 before fetching batch n's
+    # outputs so device compute and host bookkeeping overlap
+    it = iter(dataset.batches(batch_size, sort_by_class=True)
+              if hasattr(dataset, "batches") and
+              "sort_by_class" in dataset.batches.__code__.co_varnames
+              else dataset.batches(batch_size))
+    pending = []
+    for bi, nxt in enumerate(it):
+        key, sub = jax.random.split(key)
+        pending.append((bi, nxt, dispatch(nxt, sub)))
+        if len(pending) < 2:
+            continue
+        bi, batch, out = pending.pop(0)
         if save_hook is not None:
             save_hook(bi, batch, out)
         if viz_dir is not None:
             _viz_tracked(viz_dir, dataset, batch, out)
+        n_registered += _register_batch(evaluator, batch, out, csv_fp,
+                                        compute_vsd)
+    for bi, batch, out in pending:
+        if save_hook is not None:
+            save_hook(bi, batch, out)
+        if viz_dir is not None:
+            _viz_tracked(viz_dir, dataset, batch, out)
+        n_registered += _register_batch(evaluator, batch, out, csv_fp,
+                                        compute_vsd)
+    return n_registered
+
+
+def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
+    from oryon_tpu.eval.evaluator import pred_pose_csv_line
+
+    n_registered = 0
+    if True:
         B = batch.corrs.shape[0]
         det = np.asarray(out.detection_valid)
         n_corrs = np.asarray(out.n_corrs)
