@@ -434,12 +434,19 @@ class PairDataset:
         def view(side, orig):
             items = [p[side] for p in pairs]
             origs = [p[orig] for p in pairs]
+            # wire formats: uint8 rgb + uint16 depth (mm) cut host->device
+            # bytes ~4x; eval_depth aliases orig_depth (they are clones at
+            # load time, reference common.py:57-59) so it transfers once
+            orig_depth = jnp.array(np.clip(np.stack(
+                [o["depth"] for o in origs]), 0, 65535).astype(np.uint16))
             return PairView(
-                rgb=jnp.array(np.stack([it["rgb"] for it in items]).astype(np.float32)),
+                rgb=jnp.array(np.clip(np.stack(
+                    [it["rgb"] for it in items]) * 255.0, 0, 255).astype(np.uint8)),
                 mask=jnp.array(np.stack([it["mask"] for it in items]).astype(np.uint8)),
-                depth=jnp.array(np.stack([it["depth"] for it in items]).astype(np.float32)),
-                orig_depth=jnp.array(np.stack([o["depth"] for o in origs]).astype(np.float32)),
-                eval_depth=jnp.array(np.stack([o["depth"] for o in origs]).astype(np.float32)),
+                depth=jnp.array(np.clip(np.stack(
+                    [it["depth"] for it in items]), 0, 65535).astype(np.uint16)),
+                orig_depth=orig_depth,
+                eval_depth=orig_depth,
                 camera=jnp.array(np.stack([np.asarray(it["camera"], np.float32).reshape(9)
                                            for it in items])),
                 pose=jnp.array(np.stack([it["pose"] for it in items]).astype(np.float32)),

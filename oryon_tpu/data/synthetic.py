@@ -152,10 +152,16 @@ def synthetic_pair_batch(
     prompt_ids[:, :, 2] = vocab - 1
 
     def view(side):
+        orig_depth = jnp.array(np.clip(np.stack(
+            [it[f"orig_depth_{side}"] for it in items]), 0, 65535).astype(np.uint16))
         return PairView(
-            rgb=stack(f"rgb_{side}"), mask=stack(f"mask_{side}"),
-            depth=stack(f"depth_{side}"), orig_depth=stack(f"orig_depth_{side}"),
-            eval_depth=stack(f"orig_depth_{side}"),
+            rgb=jnp.array(np.clip(np.stack(
+                [it[f"rgb_{side}"] for it in items]) * 255.0, 0, 255).astype(np.uint8)),
+            mask=stack(f"mask_{side}"),
+            depth=jnp.array(np.clip(np.stack(
+                [it[f"depth_{side}"] for it in items]), 0, 65535).astype(np.uint16)),
+            orig_depth=orig_depth,
+            eval_depth=orig_depth,
             camera=jnp.tile(jnp.array(DEFAULT_K)[None], (batch, 1)),
             pose=stack(f"pose_{side}") if side == "q" else stack("pose_a"),
             size=jnp.tile(jnp.array(orig_hw, jnp.int32)[None], (batch, 1)),

@@ -229,6 +229,9 @@ def _viz_tracked(viz_dir, dataset, batch, out):
             continue
         rgb_a = np.asarray(batch.anchor.rgb[i])
         rgb_q = np.asarray(batch.query.rgb[i])
+        if rgb_a.dtype == np.uint8:
+            rgb_a = rgb_a.astype(np.float32) / 255.0
+            rgb_q = rgb_q.astype(np.float32) / 255.0
         FH, FW = out.mask_a.shape[1:3]
         gt_a = np.asarray(resize_mask_nearest(batch.anchor.mask[i], (FH, FW)))
         gt_q = np.asarray(resize_mask_nearest(batch.query.mask[i], (FH, FW)))
