@@ -31,7 +31,6 @@ def main() -> None:
     from oryon_tpu.ops.matching import MatchParams, nn_correspondences_batch
     from oryon_tpu.geometry.pcd import lift_pcd_at
     from oryon_tpu.geometry.kabsch import ransac_kabsch
-    from oryon_tpu.ops.resize import resize_mask_nearest
 
     B, P, L = 8, 80, 77
     rng = np.random.RandomState(0)

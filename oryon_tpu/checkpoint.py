@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from oryon_tpu.config import Config, save_config

@@ -12,18 +12,20 @@ working depth, ``orig_depth`` the full-resolution depth used for lifting
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
 
 
 class PairView(NamedTuple):
-    rgb: jnp.ndarray          # [B, H, W, 3] float32 in [0, 1]
+    rgb: jnp.ndarray          # [B, H, W, 3] uint8 (wire format; the model
+                              # also accepts float32 in [0, 1])
     mask: jnp.ndarray         # [B, H, W] uint8 (oracle or external mask)
-    depth: jnp.ndarray        # [B, H, W] float32 mm (resized working depth)
-    orig_depth: jnp.ndarray   # [B, Ho, Wo] float32 mm (original resolution)
-    eval_depth: jnp.ndarray   # [B, Ho, Wo] float32 mm (VSD scene depth)
+    depth: jnp.ndarray        # [B, H, W] uint16 mm (resized working depth)
+    orig_depth: jnp.ndarray   # [B, Ho, Wo] uint16 mm (original resolution)
+    eval_depth: jnp.ndarray   # [B, Ho, Wo] uint16 mm (VSD scene depth;
+                              # aliases orig_depth at load time)
     camera: jnp.ndarray       # [B, 9] flattened K (original resolution)
     pose: jnp.ndarray         # [B, 4, 4] absolute object pose (meters)
     size: jnp.ndarray         # [B, 2] original (H, W)

@@ -9,7 +9,7 @@ physically consistent data with a known GT relative pose.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ as a fixed [S, 3, 4] array (identity in row 0 for asymmetric objects).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

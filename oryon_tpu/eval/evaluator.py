@@ -13,7 +13,7 @@ cross-score this framework's outputs.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Sequence, TextIO
+from typing import Dict, List, Optional, TextIO
 
 import jax.numpy as jnp
 import numpy as np

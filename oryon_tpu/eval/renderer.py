@@ -25,7 +25,6 @@ diagnostics in tests).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 

@@ -18,7 +18,7 @@ State dicts are plain ``dict[str, np.ndarray]`` — load .pth with
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

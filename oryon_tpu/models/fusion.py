@@ -18,7 +18,7 @@ that single group token per pooled pixel, matching the reference computation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ net.py:37-43 trains only fusion+decoder), so XLA prunes their backward pass.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

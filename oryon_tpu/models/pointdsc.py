@@ -22,8 +22,7 @@ pairs with vmap — the reference solves one pair at a time on the host.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,19 +19,16 @@ logits; 'oracle'/'ovseg' use the external masks resized to the featmap frame
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from oryon_tpu.config import Config
 from oryon_tpu.data.pair_batch import PairBatch
 from oryon_tpu.geometry.coords import scale_coords, valid_coords
 from oryon_tpu.geometry.kabsch import ransac_kabsch
 from oryon_tpu.geometry.pcd import lift_pcd_at
-from oryon_tpu.losses.feature_loss import FeatureLossConfig, feature_loss
 from oryon_tpu.models.oryon import OryonModel
 from oryon_tpu.models.pointdsc import PointDSC
 from oryon_tpu.ops.matching import MatchParams, nn_correspondences

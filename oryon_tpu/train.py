@@ -13,14 +13,12 @@ run_train.py) TPU-first:
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from oryon_tpu.data.pair_batch import PairBatch, device_fields
 from oryon_tpu.losses.feature_loss import FeatureLossConfig, feature_loss

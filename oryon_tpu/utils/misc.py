@@ -1,7 +1,7 @@
 """Small host utilities (reference utils/misc.py live subset)."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ matplotlib only; used for the tracked-instance renders during validation
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
-
 
 def _pick_reader(readers, name):
     """Reader by dataset name; prefix match tolerates suffixed dirs."""
