@@ -68,6 +68,12 @@ def main(argv):
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)
+    if cfg.model.size == "full":
+        from oryon_tpu.models.pretrained import load_pretrained_params
+        new_params, report = load_pretrained_params(cfg, state.params)
+        state = state.replace(params=new_params)
+        for line in report:
+            print(line)
     if cfg.eval.ckpt:
         state, epoch = restore_checkpoint(cfg, state, cfg.eval.ckpt)
         print(f"loaded checkpoint epoch {epoch}")

@@ -85,6 +85,12 @@ def main(argv):
                                total_steps=total_steps,
                                gamma=cfg.optimization.gamma,
                                loss_cfg=loss_cfg)
+    if cfg.model.size == "full":
+        from oryon_tpu.models.pretrained import load_pretrained_params
+        new_params, report = load_pretrained_params(cfg, state.params)
+        state = state.replace(params=new_params)
+        for line in report:
+            print(line)
     start_epoch = 0
     if cfg.resume_ckpt != "none":
         state, epoch = restore_checkpoint(cfg, state, cfg.resume_ckpt)

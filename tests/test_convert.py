@@ -219,3 +219,34 @@ def test_scan_vs_unrolled_tower_equivalence(rng):
     y_scan = m_scan.apply(jax.tree_util.tree_map(jnp.asarray, p_scan), jnp.array(ids))
     y_unroll = m_unroll.apply(jax.tree_util.tree_map(jnp.asarray, p_unroll), jnp.array(ids))
     np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll), atol=1e-5)
+
+
+def test_catseg_key_surgery():
+    from oryon_tpu.models.pretrained import catseg_key_surgery
+    sd = {
+        "sem_seg_head.predictor.transformer.conv1.weight": np.zeros(1),
+        "sem_seg_head.predictor.transformer.decoder.decoder1.up.weight": np.zeros(1),
+        "sem_seg_head.predictor.transformer.head.weight": np.zeros(1),
+        "sem_seg_head.predictor.clip_model.visual.conv1.weight": np.zeros(1),
+        "backbone.something": np.zeros(1),
+    }
+    out = catseg_key_surgery(sd)
+    assert "fusion.conv1.weight" in out
+    assert "decoder.decoder.decoder1.up.weight" in out
+    assert "decoder.head.weight" in out
+    assert "clip.visual.conv1.weight" in out
+    assert not any(k.startswith("backbone") for k in out)
+
+
+def test_load_pretrained_reports_missing(tmp_path):
+    from oryon_tpu.config import Config
+    from oryon_tpu.models.pretrained import load_pretrained_params
+    cfg = Config()
+    cfg.pretrained.clip = str(tmp_path / "nope.npz")
+    cfg.pretrained.swin = str(tmp_path / "nope2.npz")
+    cfg.pretrained.catseg = str(tmp_path / "nope3.npz")
+    params = {"params": {"vlm_visual": {}, "vlm_text": {}, "guidance": {},
+                         "fusion": {}, "decoder": {}}}
+    out, report = load_pretrained_params(cfg, params)
+    assert len(report) == 3
+    assert all("missing" in r for r in report)
