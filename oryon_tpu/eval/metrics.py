@@ -106,3 +106,25 @@ def entropy(probs: jnp.ndarray, axis: int, norm: bool = False) -> jnp.ndarray:
     if norm:
         h = h / jnp.log(probs.shape[axis])
     return h
+
+
+def pixel_match_loss(gt_matches, pred_matches) -> "np.ndarray":
+    """Mean optimal-assignment pixel distance between predicted and GT match
+    sets (reference utils/metrics.py:79-96; host-side, scipy Hungarian)."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    gt = np.asarray(gt_matches, np.float64)
+    pr = np.asarray(pred_matches, np.float64)
+    B = pr.shape[0]
+    err = np.zeros(B)
+    for i in range(B):
+        g, p = gt[i], pr[i]
+        if g.shape[0] == 0 or p.shape[0] == 0:
+            continue
+        d1 = np.linalg.norm(p[:, None, :2] - g[None, :, :2], axis=-1)
+        d2 = np.linalg.norm(p[:, None, 2:] - g[None, :, 2:], axis=-1)
+        dists = (d1 + d2) / 2.0
+        r, c = linear_sum_assignment(dists)
+        err[i] = dists[r, c].mean()
+    return err

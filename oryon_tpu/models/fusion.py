@@ -44,6 +44,8 @@ class FusionConfig:
     clip_dim: int = 1024
     clip_proj_dim: int = 768
     use_appearance_guidance: bool = True
+    attention_type: str = "linear"   # linear | full (reference fusion.py:309-314)
+    guidance_head: str = "default"   # default | mlp | none (fusion.py:493-500)
 
 
 class GuidedWindowAttention(nn.Module):
@@ -129,6 +131,44 @@ class LinearAttention(nn.Module):
         return jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * s
 
 
+class FullAttention(nn.Module):
+    """Softmax attention alternative to LinearAttention
+    (reference fusion.py:268-299)."""
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        D = q.shape[-1]
+        qk = jnp.einsum("nlhd,nshd->nlsh", q, k) / jnp.sqrt(D * 1.0)
+        a = jax.nn.softmax(qk, axis=2)
+        return jnp.einsum("nlsh,nshd->nlhd", a, v)
+
+
+class MLPGuidanceHead(nn.Module):
+    """Pool + text-guided MLP residual, the 'mlp' guidance head
+    (reference fusion.py:334-384)."""
+
+    hidden_dim: int
+    pooling: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, text_guidance: Optional[jnp.ndarray]) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        p = self.pooling
+        Hp, Wp = H // p, W // p
+        xp = x.reshape(B, Hp, p, Wp, p, C).mean(axis=(2, 4)).astype(self.dtype)
+        h = jax.nn.relu(nn.Dense(C, dtype=self.dtype, name="visualconv")(xp))
+        if text_guidance is not None:
+            g = jax.nn.relu(nn.Dense(C, dtype=self.dtype, name="textconv")(
+                text_guidance.astype(self.dtype)))
+            h = h + g[:, None, None, :]
+        m = nn.Dense(4 * C, dtype=self.dtype, name="mlp_fc1")(h)
+        m = jax.nn.relu(m)
+        m = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(m)
+        up = resize2d(m + h, (H, W), "linear", align_corners=True)
+        return x + up.astype(x.dtype)
+
+
 class ClassTransformerLayer(nn.Module):
     """Prompt-group transformer over 6x6-pooled features with text guidance
     (reference fusion.py:386-434). T (group axis) = 1 here."""
@@ -136,6 +176,7 @@ class ClassTransformerLayer(nn.Module):
     hidden_dim: int
     nheads: int
     pooling: int
+    attention_type: str = "linear"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -160,7 +201,8 @@ class ClassTransformerLayer(nn.Module):
         q = q.reshape(-1, 1, self.nheads, hd)
         k = k.reshape(-1, 1, self.nheads, hd)
         v = v.reshape(-1, 1, self.nheads, hd)
-        att = LinearAttention(name="attention")(q, k, v).reshape(-1, 1, C)
+        attn_cls = LinearAttention if self.attention_type == "linear" else FullAttention
+        att = attn_cls(name="attention")(q, k, v).reshape(-1, 1, C)
         tok = tok + att.astype(tok.dtype)
 
         z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tok).astype(self.dtype)
@@ -187,8 +229,15 @@ class AggregatorLayer(nn.Module):
                             dtype=self.dtype, name="swin_block1")(x, app_guidance)
         x = GuidedSwinBlock(c.hidden_dim, c.nheads, c.window, shift=c.window // 2,
                             dtype=self.dtype, name="swin_block2")(x, app_guidance)
-        x = ClassTransformerLayer(c.hidden_dim, c.nheads, c.pooling,
-                                  dtype=self.dtype, name="class_transformer")(x, text_guidance)
+        if c.guidance_head == "default":
+            x = ClassTransformerLayer(c.hidden_dim, c.nheads, c.pooling,
+                                      c.attention_type, dtype=self.dtype,
+                                      name="class_transformer")(x, text_guidance)
+        elif c.guidance_head == "mlp":
+            x = MLPGuidanceHead(c.hidden_dim, c.pooling, dtype=self.dtype,
+                                name="mlp_head")(x, text_guidance)
+        elif c.guidance_head != "none":
+            raise ValueError(c.guidance_head)
         return x
 
 

@@ -205,3 +205,30 @@ def test_oryon_tower_gradients_stopped():
     fused = [float(jnp.abs(g).max()) for path, g in flat
              if "fusion" in str(path) or "decoder" in str(path)]
     assert max(fused) > 0.0
+
+
+@pytest.mark.parametrize("attn,head", [("full", "default"), ("linear", "mlp"),
+                                       ("linear", "none")])
+def test_fusion_variants(attn, head):
+    cfg = FusionConfig(hidden_dim=32, text_guidance_dim=48, text_guidance_proj_dim=32,
+                       appearance_guidance_dim=16, appearance_proj_dim=32,
+                       num_layers=1, nheads=4, window=12, pooling=6,
+                       num_prompts=8, clip_dim=64, clip_proj_dim=48,
+                       attention_type=attn, guidance_head=head)
+    m = ImageTextFusion(cfg, dtype=jnp.float32)
+    img = jnp.array(np.random.RandomState(0).randn(1, 24, 24, 64), jnp.float32)
+    txt = jnp.array(np.random.RandomState(1).randn(1, 8, 48), jnp.float32)
+    app = jnp.array(np.random.RandomState(2).randn(1, 24, 24, 16), jnp.float32)
+    params = m.init(KEY, img, txt, app)
+    y = m.apply(params, img, txt, app)
+    assert y.shape == (1, 24, 24, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_pixel_match_loss():
+    from oryon_tpu.eval.metrics import pixel_match_loss
+    gt = np.array([[[0, 0, 0, 0], [10, 10, 10, 10]]], np.float64)
+    pred = np.array([[[10, 10, 10, 10], [0, 0, 0, 0]]], np.float64)
+    assert pixel_match_loss(gt, pred)[0] == pytest.approx(0.0)
+    pred2 = np.array([[[1, 0, 0, 0], [10, 10, 10, 10]]], np.float64)
+    assert pixel_match_loss(gt, pred2)[0] == pytest.approx(0.25)
