@@ -122,6 +122,12 @@ def main(argv):
             state, metrics = step_fn(state, batch, sub)
             if bi % 10 == 0:
                 logger.log_step(int(state.step), metrics, prefix="train")
+                # NaN guard (reference prints in the loss, losses.py:113-118;
+                # here a hard stop so a poisoned run fails fast)
+                total = float(metrics["loss/total"])
+                if total != total:
+                    raise FloatingPointError(
+                        f"non-finite loss at step {int(state.step)}")
         means = logger.epoch_summary(epoch)
         print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
         if (epoch + 1) % cfg.training.freq_save == 0 or epoch == cfg.training.n_epochs - 1:
