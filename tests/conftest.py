@@ -7,9 +7,16 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # On a 1-core host, XLA:CPU's in-process collectives (all-to-all /
+    # collective-permute emitted by GSPMD for the dp/tp mesh tests) can take
+    # >40 s for all 8 virtual-device threads to reach the rendezvous when the
+    # executor pool is warm from earlier tests; the default 40 s termination
+    # timeout then aborts the interpreter. Raise it — starvation, not deadlock.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
