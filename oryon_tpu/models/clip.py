@@ -25,6 +25,7 @@ class ClipVisionConfig:
     width: int = 1024
     layers: int = 24
     heads: int = 16
+    attn_impl: str = "auto"   # einsum | flash | auto (see MultiHeadAttention)
 
     @property
     def grid(self) -> int:
@@ -46,11 +47,21 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class MultiHeadAttention(nn.Module):
-    """Packed-QKV multi-head attention (torch nn.MultiheadAttention layout)."""
+    """Packed-QKV multi-head attention (torch nn.MultiheadAttention layout).
+
+    attn_impl: "einsum" | "flash" | "auto".  "flash" runs the fused Pallas
+    online-softmax kernel (ops/flash.py) — only valid for unmasked attention.
+    Measured on v5e at the ViT-L shape ([16, 16, 577->640, 64], bf16): the
+    tuned flash kernel TIES the einsum path in-tower (60.9 vs 60.7 ms for the
+    24-layer stack) — XLA's fused attention is already HBM-efficient here and
+    per-program overheads eat the rest — so "auto" resolves to einsum and
+    flash stays opt-in for larger-sequence experiments.
+    """
 
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -61,11 +72,16 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhld,bhmd->bhlm", q, k) * (hd ** -0.5)
-        if mask is not None:
-            attn = attn + mask.astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhlm,bhmd->bhld", attn, v)
+        if self.attn_impl == "flash":
+            assert mask is None, "flash path is unmasked attention only"
+            from oryon_tpu.ops.flash import flash_mha
+            out = flash_mha(q, k, v, hd ** -0.5)
+        else:
+            attn = jnp.einsum("bhld,bhmd->bhlm", q, k) * (hd ** -0.5)
+            if mask is not None:
+                attn = attn + mask.astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhlm,bhmd->bhld", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
@@ -74,11 +90,13 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
-        x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
+        x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
+                                   self.attn_impl, name="attn")(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
         h = quick_gelu(h)
@@ -92,15 +110,17 @@ class _ScanBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask) -> tuple:
         x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
-                                   name="block")(x, mask)
+                                   self.attn_impl, name="block")(x, mask)
         return x, None
 
 
-def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool):
+def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
+                attn_impl: str = "auto"):
     """Transformer stack: nn.scan over one compiled block (compile time and
     HLO size ~layers-times smaller than unrolling — critical for the 24-layer
     ViT-L under slow remote compilation) or the unrolled fallback."""
@@ -112,10 +132,11 @@ def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool):
             in_axes=(nn.broadcast,),
             length=layers,
         )
-        x, _ = Blocks(width, heads, dtype, name="resblocks")(x, mask)
+        x, _ = Blocks(width, heads, dtype, attn_impl, name="resblocks")(x, mask)
         return x
     for i in range(layers):
-        x = ResidualAttentionBlock(width, heads, dtype, name=f"resblock_{i}")(x, mask)
+        x = ResidualAttentionBlock(width, heads, dtype, attn_impl,
+                                   name=f"resblock_{i}")(x, mask)
     return x
 
 
@@ -144,7 +165,7 @@ class ClipVisionTower(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         x = _run_blocks(x, None, c.width, c.heads, c.layers, self.dtype,
-                        self.scan_layers)
+                        self.scan_layers, c.attn_impl)
         toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:, :])
         return toks.reshape(B, c.grid, c.grid, c.width).astype(jnp.float32)
 

