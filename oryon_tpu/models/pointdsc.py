@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from oryon_tpu.geometry.kabsch import weighted_kabsch
+from oryon_tpu.geometry.kabsch import weighted_kabsch, weighted_kabsch_quat
 from oryon_tpu.geometry.pcd import sq_dist_matrix, transform_pcd
 from oryon_tpu.utils.precision import fp32_matmul
 
@@ -188,7 +188,9 @@ def seed_transforms(fn, src, tgt, v, seeds, sigma, cfg: PointDSCConfig):
                           jnp.ones((seeds.shape[0], k)))
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
 
-    T_seed = weighted_kabsch(src_knn, tgt_knn, w)    # [S, 4, 4]
+    # LAPACK-free quaternion fit for the seed hypotheses (batched tiny SVDs
+    # dominate on TPU; the winning seed is refined with exact SVD downstream)
+    T_seed = weighted_kabsch_quat(src_knn, tgt_knn, w)  # [S, 4, 4]
 
     # fitness over all VALID correspondences (PointDSC.py:325-330)
     pred = transform_pcd(src[None], T_seed[:, :3, :3], T_seed[:, :3, 3])
