@@ -264,41 +264,99 @@ class BatchedEvaluator(Evaluator):
     The per-pair API above mirrors the reference exactly but pays one
     device->host round trip per metric call — through this environment's
     device tunnel that is ~25 ms/call, i.e. minutes over a 2000-pair sweep.
-    ``register_test_batch`` groups pairs by object class, runs ONE jitted,
-    vmapped metric program per class (R/T errors, ADD(S)-0.1d, MSSD/MSPD
-    recalls, optional batched VSD renders), and fetches the whole batch with
-    a single host copy. Values are identical to the per-pair path (same
-    kernels, vmapped)."""
+    ``register_test_batch`` groups pairs by object class and runs ONE shared
+    jitted metric program (R/T errors, ADD(S)-0.1d, MSSD/MSPD recalls,
+    optional batched VSD renders), fetching each batch with a single host
+    copy.  Per-class data (model points, symmetry set, render mesh) rides in
+    as padded ARGUMENTS rather than closure constants, and batch sizes are
+    bucketed to powers of two — so a 34-class sweep compiles a handful of
+    programs instead of O(classes x batch-sizes) variants.  Padding is
+    value-neutral by construction: points/symmetries pad by REPEATING real
+    rows (max/min unchanged; ADD means are validity-weighted), mesh faces
+    pad with face_valid=False rows.  Values are identical to the per-pair
+    path (same kernels, vmapped) — pinned by the equivalence test."""
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
-        self._batch_fns: Dict = {}
+        self._cls_tensors: Dict = {}
+        self._caps = None
+        self._runner = None
 
-    def _class_fn(self, cls_id):
-        if cls_id in self._batch_fns:
-            return self._batch_fns[cls_id]
-        import jax
+    @staticmethod
+    def _up8(n: int) -> int:
+        return max(8, -(-int(n) // 8) * 8)
 
+    def _capacities(self):
+        if self._caps is None:
+            objs = [self.get_obj_info(c) for c in self.objects]
+            if not objs:
+                raise RuntimeError("register objects before batched scoring")
+            Pcap = self._up8(max(o.pts.shape[0] for o in objs))
+            Scap = max(int(o.syms.shape[0]) for o in objs)
+            if self.compute_vsd:
+                Vcap = self._up8(max(int(o.mesh.vertices.shape[0]) for o in objs))
+                Fcap = self._up8(max(int(o.mesh.faces.shape[0]) for o in objs))
+            else:
+                Vcap, Fcap = 8, 8
+            self._caps = (Pcap, Scap, Vcap, Fcap)
+        return self._caps
+
+    def _tensors(self, cls_id):
+        """Padded per-class arrays (cached): pts/weights/syms/mesh/diameters."""
+        if cls_id in self._cls_tensors:
+            return self._cls_tensors[cls_id]
+        Pcap, Scap, Vcap, Fcap = self._capacities()
         obj = self.get_obj_info(cls_id)
-        pts = jnp.asarray(obj.pts)
-        pts_m = pts / 1000.0
-        syms = jnp.asarray(obj.syms)
-        symmetric = obj.syms.shape[0] > 1
-        add_diam = float(np.asarray(diameter(pts))) / 1000.0
-        diam = obj.diameter
-        mesh = obj.mesh
-        delta, taus = self.vsd_delta, self.vsd_taus
-        hw = self.render_hw
-        compute_vsd = self.compute_vsd
+        P = obj.pts.shape[0]
+        pts = np.concatenate([obj.pts, np.tile(obj.pts[:1], (Pcap - P, 1))])
+        ptsw = np.concatenate([np.ones(P, np.float32), np.zeros(Pcap - P, np.float32)])
+        S = obj.syms.shape[0]
+        syms = np.concatenate([obj.syms, np.tile(obj.syms[:1], (Scap - S, 1, 1))])
+        if self.compute_vsd:
+            mesh = obj.mesh
+            V = int(mesh.vertices.shape[0])
+            F = int(mesh.faces.shape[0])
+            mv = np.zeros((Vcap, 3), np.float32)
+            mv[:V] = np.asarray(mesh.vertices)
+            mf = np.zeros((Fcap, 3), np.int32)
+            mf[:F] = np.asarray(mesh.faces)
+            mfv = np.zeros(Fcap, bool)
+            mfv[:F] = np.asarray(mesh.face_valid)
+        else:
+            mv = np.zeros((Vcap, 3), np.float32)
+            mf = np.zeros((Fcap, 3), np.int32)
+            mfv = np.zeros(Fcap, bool)
+        add_diam = float(np.asarray(diameter(jnp.asarray(obj.pts)))) / 1000.0
+        t = dict(pts=pts.astype(np.float32), ptsw=ptsw,
+                 syms=syms.astype(np.float32), mv=mv, mf=mf, mfv=mfv,
+                 diam=np.float32(obj.diameter), add_diam=np.float32(add_diam),
+                 symmetric=np.bool_(S > 1))
+        self._cls_tensors[cls_id] = t
+        return t
+
+    def _shared_fn(self):
+        """The one jitted metric program (recompiles only per batch bucket)."""
+        if self._runner is not None:
+            return self._runner
+        import jax
 
         from oryon_tpu.eval.metrics import compute_add as _add
         from oryon_tpu.eval.metrics import compute_adds as _adds
 
+        delta, taus = self.vsd_delta, self.vsd_taus
+        hw = self.render_hw
+        compute_vsd = self.compute_vsd
+
         @jax.jit
-        def run(pred, gt, K, depth):
-            """pred/gt [B,4,4] (m); K [B,3,3]; depth [B,H,W] or zeros."""
+        def run(pred, gt, K, depth, pts, ptsw, syms, mv, mf, mfv,
+                diam, add_diam, symmetric):
+            """pred/gt [B,4,4] (m); K [B,3,3]; depth [B,H,W]; class tensors
+            padded to the evaluator-wide capacities."""
             errR, errT = rotation_translation_errors(pred, gt)
-            adds = jax.vmap(lambda p, g: (_adds if symmetric else _add)(pts_m, p, g))(pred, gt)
+            pts_m = pts / 1000.0
+            add_v = jax.vmap(lambda p, g: _add(pts_m, p, g, ptsw))(pred, gt)
+            adds_v = jax.vmap(lambda p, g: _adds(pts_m, p, g, ptsw))(pred, gt)
+            adds = jnp.where(symmetric, adds_v, add_v)
             add_ok = (adds <= add_diam * 0.1).astype(jnp.float32)
 
             def one(p, g, k):
@@ -312,7 +370,7 @@ class BatchedEvaluator(Evaluator):
             out = {"errR": errR, "errT": errT, "add": add_ok,
                    "mssd": mssd_r, "mspd": mspd_r}
             if compute_vsd:
-                from oryon_tpu.eval.renderer import render_depth
+                mesh = Mesh(mv, mf, mfv)
 
                 def one_vsd(p, g, k, d):
                     d_est = render_depth(mesh, p[:3, :3], p[:3, 3] * 1000, k,
@@ -325,13 +383,18 @@ class BatchedEvaluator(Evaluator):
                 out["vsd"] = jax.vmap(one_vsd)(pred, gt, K, depth)
             return out
 
-        self._batch_fns[cls_id] = run
+        self._runner = run
         return run
 
     def register_test_batch(self, iou_a, iou_q, gt_pose, pred_pose,
                             pred_pose_rel, cls_ids, cameras, depths,
-                            instance_ids):
-        """Batched registration; semantics of N register_test calls."""
+                            instance_ids, depth_index=None):
+        """Batched registration; semantics of N register_test calls.
+
+        ``depths`` may be a host array indexed like the batch, or (with
+        ``depth_index``) a DEVICE-resident array (any integer dtype) indexed
+        by ``depth_index[sel]`` — gathered and cast on-device, so the depth
+        image never crosses the host boundary."""
         B = len(cls_ids)
         pred_pose = np.asarray(pred_pose, np.float32).copy()
         pred_pose_rel = np.asarray(pred_pose_rel, np.float32)
@@ -344,19 +407,31 @@ class BatchedEvaluator(Evaluator):
         for i, c in enumerate(cls_ids):
             by_cls.setdefault(c, []).append(i)
 
+        run = self._shared_fn()
+        cameras = np.asarray(cameras, np.float32)
         res = np.zeros((B, 6), np.float64)  # errR errT add mssd mspd vsd
         pending = []
         for c, idxs in by_cls.items():
-            fn = self._class_fn(c)
+            t = self._tensors(c)
             sel = np.asarray(idxs)
-            d = (np.asarray(depths, np.float32)[sel] if depths is not None
-                 else np.zeros((len(sel),) + self.render_hw, np.float32))
-            out = fn(jnp.asarray(pred_pose[sel]), jnp.asarray(gt_pose[sel]),
-                     jnp.asarray(np.asarray(cameras, np.float32)[sel]),
-                     jnp.asarray(d))
+            n = len(sel)
+            bucket = 1 << (n - 1).bit_length()  # next power of two
+            padded = np.concatenate([sel, np.repeat(sel[:1], bucket - n)])
+            if depths is None:
+                d = jnp.zeros((bucket,) + self.render_hw, jnp.float32)
+            elif depth_index is not None:
+                d = jnp.take(jnp.asarray(depths), jnp.asarray(depth_index[padded]),
+                             axis=0).astype(jnp.float32)
+            else:
+                d = jnp.asarray(np.asarray(depths, np.float32)[padded])
+            out = run(jnp.asarray(pred_pose[padded]), jnp.asarray(gt_pose[padded]),
+                      jnp.asarray(cameras[padded]), jnp.asarray(d),
+                      t["pts"], t["ptsw"], t["syms"], t["mv"], t["mf"],
+                      t["mfv"], t["diam"], t["add_diam"], t["symmetric"])
             pending.append((sel, out))  # keep device arrays; fetch later
         for sel, out in pending:
-            out = {k: np.asarray(v) for k, v in out.items()}
+            n = len(sel)
+            out = {k: np.asarray(v)[:n] for k, v in out.items()}
             res[sel, 0] = out["errR"]
             res[sel, 1] = out["errT"]
             res[sel, 2] = out["add"]

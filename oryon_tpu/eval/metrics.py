@@ -57,27 +57,40 @@ def rotation_translation_errors(
 
 @fp32_matmul
 def compute_add(
-    pts: jnp.ndarray, pred_pose: jnp.ndarray, gt_pose: jnp.ndarray
+    pts: jnp.ndarray, pred_pose: jnp.ndarray, gt_pose: jnp.ndarray,
+    w: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Average distance of model points (ADD). pts: (..., N, 3); poses (..., 4, 4)."""
+    """Average distance of model points (ADD). pts: (..., N, 3); poses (..., 4, 4).
+
+    ``w`` (..., N): optional 0/1 point weights — lets padded fixed-capacity
+    point buffers (shared metric programs) score identically to exact-size
+    ones via a weighted mean."""
     p = transform_pcd(pts, pred_pose[..., :3, :3], pred_pose[..., :3, 3])
     g = transform_pcd(pts, gt_pose[..., :3, :3], gt_pose[..., :3, 3])
-    return jnp.mean(jnp.linalg.norm(p - g, axis=-1), axis=-1)
+    d = jnp.linalg.norm(p - g, axis=-1)
+    if w is None:
+        return jnp.mean(d, axis=-1)
+    return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 
 
 @fp32_matmul
 def compute_adds(
-    pts: jnp.ndarray, pred_pose: jnp.ndarray, gt_pose: jnp.ndarray
+    pts: jnp.ndarray, pred_pose: jnp.ndarray, gt_pose: jnp.ndarray,
+    w: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """ADD-S: mean NN distance from predicted-pose points to gt-pose points.
 
     Exact brute-force NN on the MXU (reference uses a KDTree,
-    utils/metrics.py:216-218 — identical value).
-    """
+    utils/metrics.py:216-218 — identical value).  ``w``: optional 0/1 point
+    weights; padding MUST duplicate real points so the NN target pool is
+    unchanged, and the source mean is weighted."""
     p = transform_pcd(pts, pred_pose[..., :3, :3], pred_pose[..., :3, 3])
     g = transform_pcd(pts, gt_pose[..., :3, :3], gt_pose[..., :3, 3])
     d2 = sq_dist_matrix(p, g)
-    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1) + 1e-12), axis=-1)
+    d = jnp.sqrt(jnp.min(d2, axis=-1) + 1e-12)
+    if w is None:
+        return jnp.mean(d, axis=-1)
+    return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 
 
 def fmr(

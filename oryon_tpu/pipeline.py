@@ -335,7 +335,12 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
         valid = np.asarray(batch.valid)
         gt_pose_q = np.asarray(batch.query.pose)
         cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
-        depths = np.asarray(batch.query.eval_depth)
+        # depth stays DEVICE-resident for the batched path: fetching the
+        # uint16 depth to host and re-uploading it as f32 costs ~15 MB of
+        # tunnel traffic per batch; the batched evaluator gathers/casts
+        # on-device. The per-pair fallback below still fetches.
+        depths_dev = batch.query.eval_depth
+        depths = None
 
         batched = hasattr(evaluator, "register_test_batch")
         ok_idx = [i for i in range(B)
@@ -345,14 +350,17 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
             evaluator.register_test_batch(
                 iou_a[sel], iou_q[sel], gt_pose_q[sel], pred_q[sel],
                 pred_rel[sel], [batch.cls_id[i] for i in ok_idx],
-                cameras[sel], depths[sel] if compute_vsd else None,
-                [batch.instance_id[i] for i in ok_idx])
+                cameras[sel], depths_dev if compute_vsd else None,
+                [batch.instance_id[i] for i in ok_idx],
+                depth_index=sel)
         for i in range(B):
             if valid[i] == 0:  # padding rows
                 continue
             n_registered += 1
             if det[i] and n_corrs[i] >= 4:
                 if not batched:
+                    if depths is None and compute_vsd:
+                        depths = np.asarray(depths_dev)
                     evaluator.register_test(
                         iou_a[i], iou_q[i],
                         gt_pose=gt_pose_q[i], pred_pose=pred_q[i],
