@@ -107,8 +107,15 @@ def build_pipeline(
     params,
     cfg: PipelineConfig,
     pointdsc: Optional[Tuple[PointDSC, Dict]] = None,
+    mesh=None,
 ):
-    """Returns a jitted fn: (key, PairBatch) -> PipelineOutputs."""
+    """Returns a jitted fn: (key, PairBatch) -> PipelineOutputs.
+
+    ``mesh``: optional jax.sharding.Mesh. Inference is embarrassingly
+    data-parallel (no cross-pair state), so eval sweeps scale over chips by
+    sharding the batch on the ``data`` axis with replicated parameters —
+    the multi-chip analog of the reference's single-process test loop.
+    """
     if cfg.solver == "pointdsc" and pointdsc is None:
         raise ValueError("pointdsc solver needs (model, params)")
 
@@ -203,6 +210,19 @@ def build_pipeline(
     # weights into the HLO as literal constants (measured: >30 min compiles
     # through the remote-compile path vs minutes as arguments)
     jitted = jax.jit(run)
+
+    if mesh is not None:
+        from oryon_tpu.parallel import replicate, shard_batch
+        params = replicate(params, mesh)
+
+        def wrapped(key, batch: PairBatch, text_emb=None) -> PipelineOutputs:
+            sbatch = shard_batch(device_fields(batch), mesh)
+            if text_emb is not None:
+                # text_emb is batch-aligned [B, P, D] -> shard like the batch
+                text_emb = shard_batch(text_emb, mesh)
+            return jitted(params, key, sbatch, text_emb)
+
+        return wrapped
 
     def wrapped(key, batch: PairBatch, text_emb=None) -> PipelineOutputs:
         return jitted(params, key, device_fields(batch), text_emb)

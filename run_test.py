@@ -98,7 +98,22 @@ def main(argv):
         match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
                           dist_th=cfg.test.dist_th),
     )
-    pipe = build_pipeline(model, state.params, pcfg, pointdsc)
+    # multi-chip eval: shard the batch over the data axis (replicated
+    # params; optional TP axis reuses the train-time param shardings)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from oryon_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        if cfg.dataset.batch_size % mesh.shape["data"] != 0:
+            print(f"WARNING: batch_size {cfg.dataset.batch_size} not divisible"
+                  f" by data axis {mesh.shape['data']}; running single-device")
+            mesh = None
+    if mesh is not None:
+        if cfg.mesh.model > 1:
+            from oryon_tpu.parallel.tp import shard_params_tp
+            state = state.replace(params=shard_params_tp(state.params, mesh))
+        print(f"eval mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
+    pipe = build_pipeline(model, state.params, pcfg, pointdsc, mesh=mesh)
 
     ev = Evaluator(cfg.exp_tag, compute_vsd=cfg.compute_vsd)
     ev.add_object_info(ds.reader.object_info())

@@ -99,6 +99,10 @@ def main(argv):
 
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
     state = replicate(state, mesh)
+    if cfg.mesh.model > 1:
+        from oryon_tpu.parallel.tp import shard_params_tp
+        state = state.replace(params=shard_params_tp(state.params, mesh))
+        print(f"tensor-parallel params over model axis = {cfg.mesh.model}")
     step_fn = jit_train_step(donate=True)
 
     # validation dataset (pose eval every freq_valid epochs,
@@ -113,10 +117,16 @@ def main(argv):
 
     from oryon_tpu.data.pair_batch import device_fields
 
+    # multi-host: each process loads its strided split of the shared-order
+    # instance list (input over DCN; gradients psum over ICI)
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+
     for epoch in range(start_epoch, cfg.training.n_epochs):
         for bi, batch in enumerate(train_ds.batches(cfg.dataset.batch_size,
                                                     shuffle=True,
-                                                    drop_last=True)):
+                                                    drop_last=True,
+                                                    shard=shard)):
             key, sub = jax.random.split(key)
             batch = shard_batch(device_fields(batch), mesh)
             state, metrics = step_fn(state, batch, sub)

@@ -156,6 +156,20 @@ def test_pair_dataset_pads_last_batch(nocs_root):
     assert float(b.valid.sum()) == 2.0  # two real pairs, two invalid pads
 
 
+def test_pair_dataset_multihost_shard(nocs_root):
+    """shard=(rank, world) splits the shared instance order disjointly and
+    exhaustively across processes."""
+    tok = ClipTokenizer()
+    ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                     max_corrs=16, img_size=(56, 56), n_prompts=3)
+    ids = []
+    for rank in range(2):
+        for b in ds.batches(batch_size=1, shard=(rank, 2)):
+            ids.extend(str(i) for i in b.instance_id[np.asarray(b.valid) > 0])
+    assert len(ids) == len(ds)
+    assert len(set(ids)) == len(ds)
+
+
 def test_augment_pair_flip_consistency(rng):
     H, W = 40, 48
     item_a = {"rgb": rng.rand(H, W, 3).astype(np.float32),

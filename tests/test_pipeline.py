@@ -208,6 +208,34 @@ def test_text_cache_equivalence():
     assert len(cache.__closure__[0].cell_contents) == 2 or True
 
 
+def test_pipeline_mesh_data_parallel_matches_single_device():
+    """Eval sharded over an 8-device data mesh == single-device eval.
+
+    DP inference has no cross-pair state (no collectives), so the sharded
+    program must be numerically identical batch-row-wise."""
+    from oryon_tpu.parallel import make_mesh
+    batch = synthetic_pair_batch(seed=11, batch=8, img_hw=(28, 28),
+                                 orig_hw=(120, 160), n_corrs=32,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = tiny_oryon()
+    params = model.init(KEY, batch.anchor.rgb, batch.query.rgb,
+                        batch.prompt_ids)
+    cfg = PipelineConfig(mask_source="oracle", solver="ransac",
+                         match=MatchParams(src_capacity=128, max_corrs=32,
+                                           chunk=32 * 32))
+    single = build_pipeline(model, params, cfg)
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = build_pipeline(model, params, cfg, mesh=mesh)
+    out_s = single(KEY, batch)
+    out_m = sharded(KEY, batch)
+    np.testing.assert_allclose(np.asarray(out_s.iou_a),
+                               np.asarray(out_m.iou_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s.pred_rel_pose),
+                               np.asarray(out_m.pred_rel_pose), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s.corr_valid),
+                                  np.asarray(out_m.corr_valid))
+
+
 def test_save_hooks(tmp_path):
     from oryon_tpu.utils.savers import make_featmap_saver, make_mask_saver
     batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
