@@ -25,7 +25,9 @@ class ClipVisionConfig:
     width: int = 1024
     layers: int = 24
     heads: int = 16
-    attn_impl: str = "auto"   # einsum | flash | auto (see MultiHeadAttention)
+    # "fused" = lane-packed Pallas MHA (ops/pallas/mha_lanes.py): cuts the
+    # 24-layer tower 55.5 -> 46.3 ms/call on v5e (traced) vs the einsum path
+    attn_impl: str = "fused"  # einsum | flash | fused | auto (see MultiHeadAttention)
 
     @property
     def grid(self) -> int:
@@ -49,13 +51,17 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (torch nn.MultiheadAttention layout).
 
-    attn_impl: "einsum" | "flash" | "auto".  "flash" runs the fused Pallas
-    online-softmax kernel (ops/flash.py) — only valid for unmasked attention.
-    Measured on v5e at the ViT-L shape ([16, 16, 577->640, 64], bf16): the
-    tuned flash kernel TIES the einsum path in-tower (60.9 vs 60.7 ms for the
-    24-layer stack) — XLA's fused attention is already HBM-efficient here and
-    per-program overheads eat the rest — so "auto" resolves to einsum and
-    flash stays opt-in for larger-sequence experiments.
+    attn_impl (traced per-op on v5e at the ViT-L shape, 16 images, 24-layer
+    stack — see BASELINE.md):
+      * "einsum": materialized-logit attention; trio costs 19.3 ms/call.
+      * "flash": stock Pallas online-softmax kernel; the kernel itself runs
+        10.6 ms but the [B,H,L,D] head-split transposes + per-layer pads add
+        ~8 ms of HBM copies — net tie with einsum.  Opt-in only.
+      * "fused": lane-packed kernel (ops/pallas/mha_lanes.py) consuming the
+        in_proj [B, L, C] layout directly — 9.8 ms/call, no copies; tower
+        drops 55.5 -> 46.3 ms.  Default for the vision tower; requires the
+        caller to pre-pad L to a lane multiple (seg argument).
+      * "auto": einsum (safe everywhere, incl. masked/causal attention).
     """
 
     width: int
@@ -64,18 +70,38 @@ class MultiHeadAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, L, D = x.shape
         hd = D // self.heads
         in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(in_proj, 3, axis=-1)
+        if self.attn_impl == "fused":
+            # lane-packed fused kernel: consumes [B, L, C] directly — no
+            # head-split transposes, logits stay in VMEM (ops/pallas/mha_lanes)
+            assert mask is None, "fused path is unmasked attention only"
+            from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes
+            if seg is not None:
+                kmask = jnp.where(seg[0] > 0, 0.0, -1e9).astype(jnp.float32)
+            else:
+                kmask = jnp.zeros((L,), jnp.float32)
+            out = fused_mha_lanes(q, k, v, kmask, self.heads, hd ** -0.5)
+            return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         q = q.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         if self.attn_impl == "flash":
             assert mask is None, "flash path is unmasked attention only"
-            from oryon_tpu.ops.flash import flash_mha
-            out = flash_mha(q, k, v, hd ** -0.5)
+            from oryon_tpu.ops.flash import flash_mha, flash_mha_padded
+            if seg is not None:
+                # sequence pre-padded by the tower; no per-layer pad/slice
+                out = flash_mha_padded(q, k, v, hd ** -0.5, seg)
+            else:
+                out = flash_mha(q, k, v, hd ** -0.5)
+        elif self.attn_impl == "noattn":
+            # diagnostic floor (scripts/profile_clip.py): skip the score and
+            # value matmuls entirely — NOT a valid attention
+            out = v + 0.0 * q
         else:
             attn = jnp.einsum("bhld,bhmd->bhlm", q, k) * (hd ** -0.5)
             if mask is not None:
@@ -93,10 +119,11 @@ class ResidualAttentionBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
-                                   self.attn_impl, name="attn")(y, mask)
+                                   self.attn_impl, name="attn")(y, mask, seg)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
         h = quick_gelu(h)
@@ -113,14 +140,14 @@ class _ScanBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask) -> tuple:
+    def __call__(self, x: jnp.ndarray, mask, seg) -> tuple:
         x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
-                                   self.attn_impl, name="block")(x, mask)
+                                   self.attn_impl, name="block")(x, mask, seg)
         return x, None
 
 
 def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
-                attn_impl: str = "auto"):
+                attn_impl: str = "auto", seg=None):
     """Transformer stack: nn.scan over one compiled block (compile time and
     HLO size ~layers-times smaller than unrolling — critical for the 24-layer
     ViT-L under slow remote compilation) or the unrolled fallback."""
@@ -129,14 +156,15 @@ def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
             _ScanBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast,),
+            in_axes=(nn.broadcast, nn.broadcast),
             length=layers,
         )
-        x, _ = Blocks(width, heads, dtype, attn_impl, name="resblocks")(x, mask)
+        x, _ = Blocks(width, heads, dtype, attn_impl,
+                      name="resblocks")(x, mask, seg)
         return x
     for i in range(layers):
         x = ResidualAttentionBlock(width, heads, dtype, attn_impl,
-                                   name=f"resblock_{i}")(x, mask)
+                                   name=f"resblock_{i}")(x, mask, seg)
     return x
 
 
@@ -164,9 +192,21 @@ class ClipVisionTower(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.width)), x], axis=1)
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        seg = None
+        L = x.shape[1]
+        if c.attn_impl in ("flash", "fused"):
+            # hoist the tile-alignment pad OUT of the 24-layer loop: pad the
+            # sequence to a lane multiple once, isolate pad tokens with
+            # segment ids, slice once at the end (per-layer q/k/v pads cost
+            # ~4.3 ms/call on this stack — traced, see BASELINE.md)
+            Lp = -(-L // 128) * 128
+            x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+            seg = jnp.concatenate(
+                [jnp.ones((B, L), jnp.int32),
+                 jnp.zeros((B, Lp - L), jnp.int32)], axis=-1)
         x = _run_blocks(x, None, c.width, c.heads, c.layers, self.dtype,
-                        self.scan_layers, c.attn_impl)
-        toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:, :])
+                        self.scan_layers, c.attn_impl, seg=seg)
+        toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:L, :])
         return toks.reshape(B, c.grid, c.grid, c.width).astype(jnp.float32)
 
 

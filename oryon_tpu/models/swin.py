@@ -31,6 +31,7 @@ class SwinConfig:
     heads: Tuple[int, int] = (4, 8)
     window: int = 7
     mlp_ratio: float = 4.0
+    attn_impl: str = "einsum"              # einsum | noattn (profiling floor)
 
 
 def relative_position_index(window: int) -> np.ndarray:
@@ -75,29 +76,52 @@ class WindowAttention(nn.Module):
     heads: int
     window: int
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "einsum"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
-        """x: [num_windows*B, w*w, C]; mask: [num_windows, w*w, w*w] or None."""
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None,
+                 nw: int | None = None) -> jnp.ndarray:
+        """x: [num_windows*B, w*w, C]; mask: [num_windows, w*w, w*w] or None;
+        nw: windows per image (needed by the pallas path when mask is None)."""
         Bw, N, C = x.shape
         hd = C // self.heads
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
+        if self.attn_impl == "noattn":
+            # diagnostic floor (scripts/profile_clip.py): skip score/value
+            # matmuls + softmax entirely — NOT a valid attention
+            return nn.Dense(C, dtype=self.dtype, name="proj")(v + 0.0 * q)
 
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * self.window - 1) ** 2, self.heads), jnp.float32)
         idx = relative_position_index(self.window)
         bias = table[idx.reshape(-1)].reshape(N, N, self.heads).transpose(2, 0, 1)
+
+        if self.attn_impl == "pallas":
+            # fused packed kernel: logits never reach HBM, P windows share
+            # one block-diagonal matmul (ops/pallas/swin_attn.py)
+            from oryon_tpu.ops.pallas.swin_attn import packed_window_attention
+            nw_ = mask.shape[0] if mask is not None else nw
+            assert nw_ is not None, "pallas window attention needs nw"
+            comb = jnp.broadcast_to(bias[None], (nw_, self.heads, N, N))
+            if mask is not None:
+                comb = comb + mask[:, None]
+            pack = next(p for p in (8, 7, 4, 2, 1)
+                        if nw_ % p == 0 and p * N <= 512)
+            out = packed_window_attention(q, k, v, comb, self.heads, pack,
+                                          hd ** -0.5)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        q = q.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
         attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(Bw // nw, nw, self.heads, N, N)
+            nw_ = mask.shape[0]
+            attn = attn.reshape(Bw // nw_, nw_, self.heads, N, N)
             attn = attn + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(Bw, self.heads, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
@@ -112,6 +136,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -131,7 +156,9 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         wins = _window_partition(x, w)
-        wins = WindowAttention(self.dim, self.heads, w, self.dtype, name="attn")(wins, mask)
+        wins = WindowAttention(self.dim, self.heads, w, self.dtype,
+                               self.attn_impl, name="attn")(
+                                   wins, mask, nw=(Hp // w) * (Wp // w))
         x = _window_reverse(wins, w, B, Hp, Wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
@@ -179,6 +206,7 @@ class SwinGuidance(nn.Module):
             x = SwinBlock(c.embed_dim, c.heads[0], c.window,
                           shift=0 if i % 2 == 0 else c.window // 2,
                           mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                          attn_impl=c.attn_impl,
                           name=f"stage1_block{i}")(x)
         g3 = x.astype(jnp.float32)                                 # [96, 96, 128]
 
@@ -189,6 +217,7 @@ class SwinGuidance(nn.Module):
             x = SwinBlock(2 * c.embed_dim, c.heads[1], c.window,
                           shift=0 if i % 2 == 0 else c.window // 2,
                           mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                          attn_impl=c.attn_impl,
                           name=f"stage2_block{i}")(x)
 
         x = PatchMerging(2 * c.embed_dim, self.dtype, name="merge2")(x)

@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: fused MHA on the lane-packed [B, L, C] layout.
+
+Why this exists (traced on v5e, ViT-L/14@336 stack, 16 images — BASELINE.md):
+  * einsum attention trio (QK^T / softmax / AV): 19.3 ms/call — the
+    [B,16,577,577] logits round-trip HBM and the hd=64 contraction caps the
+    MXU;
+  * stock flash_attention kernel: 10.6 ms/call, BUT it needs the
+    [B, H, L, D] layout, and the q/k/v head-split transposes + pads cost
+    ~8 ms/call of pure HBM copies — the kernel's win evaporates.
+
+This kernel keeps q/k/v exactly as the in_proj produces them — [B, L, C]
+with heads packed along lanes — so NO transpose, reshape, or pad ops touch
+HBM.  One program per batch row computes all heads: per head a static lane
+slice [L, hd], one [L, hd] @ [hd, L] MXU matmul, an in-VMEM f32 softmax
+(scores never reach HBM), one [L, L] @ [L, hd] matmul, and a lane-slice
+write.  Tile-alignment padding is hoisted out of the layer loop by the
+caller (models/clip.py); padded KEYS are excluded with a [L] additive mask
+(real queries never see them; padded query rows are garbage the caller
+slices off after the stack).
+
+Requires L to be a lane multiple and L*L*4 bytes of scores to fit VMEM
+(L <= ~1024) — exactly the ViT regime (L=640).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, heads: int,
+            scale: float):
+    """q/k/v_ref, out_ref: [1, L, C]; kmask_ref: [1, L] additive f32."""
+    C = q_ref.shape[-1]
+    hd = C // heads
+    add = kmask_ref[0, :][None, :]          # [1, L] broadcast over queries
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qs = q_ref[0, :, sl]
+        ks = k_ref[0, :, sl]
+        vs = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qs, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + add
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+        out_ref[0, :, sl] = jnp.dot(
+            p, vs, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _reference_mha(q, k, v, kmask, heads, scale):
+    """Pure-jnp forward with identical semantics — used for the backward
+    pass (the Mosaic kernel has no autodiff rule; towers are frozen in
+    production so this path only runs if someone trains through it)."""
+    B, L, C = q.shape
+    hd = C // heads
+    qh = q.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhld,bhmd->bhlm", qh, kh).astype(jnp.float32) * scale
+    s = s + kmask.astype(jnp.float32)[None, None, None, :]
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhlm,bhmd->bhld", p, vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, L, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_mha_lanes(
+    q: jnp.ndarray,          # [B, L, C], L % 128 == 0, heads packed in C
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kmask: jnp.ndarray,      # [L] additive f32 (0 real keys, -1e9 padding)
+    heads: int,
+    scale: float,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """softmax(q_h k_h^T * scale + kmask) v_h per lane-packed head."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, L, C = q.shape
+    assert L % _LANE == 0, (L,)
+    assert C % heads == 0, (C, heads)
+    kmask2 = jnp.broadcast_to(kmask.astype(jnp.float32)[None], (1, L))
+
+    kern = functools.partial(_kernel, heads=heads, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v, kmask2)
+
+
+def _fwd(q, k, v, kmask, heads, scale, interpret):
+    return fused_mha_lanes(q, k, v, kmask, heads, scale, interpret), \
+        (q, k, v, kmask)
+
+
+def _bwd(heads, scale, interpret, res, g):
+    q, k, v, kmask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_mha(q_, k_, v_, kmask,
+                                                       heads, scale),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(kmask)
+
+
+fused_mha_lanes.defvjp(_fwd, _bwd)

@@ -37,8 +37,9 @@ def test_flash_mha_matches_einsum_with_padding(rng):
 
 
 def test_clip_tower_flash_impl_matches_einsum(rng):
-    """ClipVisionTower(attn_impl='flash') == (attn_impl='einsum') with the
-    same params (interpret mode)."""
+    """ClipVisionTower(attn_impl='flash'/'fused') == (attn_impl='einsum')
+    with the same params (interpret mode).  Covers the hoisted sequence pad
+    + segment-id / key-mask isolation of the padding tokens."""
     from jax.experimental import pallas as pl
     from oryon_tpu.models.clip import ClipVisionConfig, ClipVisionTower
 
@@ -48,12 +49,61 @@ def test_clip_tower_flash_impl_matches_einsum(rng):
         cfg = dict(image_size=56, patch_size=14, width=64, layers=2, heads=4)
         t_e = ClipVisionTower(ClipVisionConfig(**cfg, attn_impl="einsum"),
                               dtype=jnp.float32)
-        t_f = ClipVisionTower(ClipVisionConfig(**cfg, attn_impl="flash"),
-                              dtype=jnp.float32)
         x = jnp.array(rng.rand(2, 56, 56, 3).astype(np.float32))
         params = t_e.init(jax.random.PRNGKey(0), x)
         o_e = np.asarray(t_e.apply(params, x))
-        o_f = np.asarray(t_f.apply(params, x))
-        np.testing.assert_allclose(o_e, o_f, atol=5e-3, rtol=5e-3)
+        for impl in ("flash", "fused"):
+            t_f = ClipVisionTower(ClipVisionConfig(**cfg, attn_impl=impl),
+                                  dtype=jnp.float32)
+            o_f = np.asarray(t_f.apply(params, x))
+            np.testing.assert_allclose(o_e, o_f, atol=5e-3, rtol=5e-3,
+                                       err_msg=impl)
     finally:
         pl.pallas_call = orig
+
+
+def test_fused_mha_lanes_matches_einsum(rng):
+    """Lane-packed fused kernel vs reference, incl. key padding mask."""
+    from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes
+
+    B, L, H, hd = 2, 256, 4, 16
+    C = H * hd
+    Lreal = 200
+    q = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    k = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    v = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    kmask = jnp.where(jnp.arange(L) < Lreal, 0.0, -1e9).astype(jnp.float32)
+    out = np.asarray(fused_mha_lanes(q, k, v, kmask, H, hd ** -0.5,
+                                     interpret=True))
+    qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    ref = _ref_attention(qh[:, :, :Lreal], kh[:, :, :Lreal],
+                         vh[:, :, :Lreal], hd ** -0.5)
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, Lreal, C))
+    np.testing.assert_allclose(out[:, :Lreal], ref, atol=2e-3, rtol=2e-3)
+
+
+def test_fused_mha_lanes_custom_vjp(rng):
+    """Gradients through the fused kernel == gradients of the reference."""
+    from oryon_tpu.ops.pallas import mha_lanes as M
+
+    B, L, H, hd = 1, 128, 2, 8
+    C = H * hd
+    q = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    k = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    v = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    kmask = jnp.zeros((L,), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(M.fused_mha_lanes(q, k, v, kmask, H, hd ** -0.5,
+                                         True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(M._reference_mha(q, k, v, kmask, H, hd ** -0.5) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
