@@ -75,18 +75,19 @@ class MultiHeadAttention(nn.Module):
         B, L, D = x.shape
         hd = D // self.heads
         in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(in_proj, 3, axis=-1)
         if self.attn_impl == "fused":
-            # lane-packed fused kernel: consumes [B, L, C] directly — no
-            # head-split transposes, logits stay in VMEM (ops/pallas/mha_lanes)
+            # lane-packed fused kernel: consumes the packed [B, L, 3C]
+            # in_proj output directly — no q/k/v split, no head-split
+            # transposes, logits stay in VMEM (ops/pallas/mha_lanes)
             assert mask is None, "fused path is unmasked attention only"
-            from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes
+            from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes_qkv
             if seg is not None:
                 kmask = jnp.where(seg[0] > 0, 0.0, -1e9).astype(jnp.float32)
             else:
                 kmask = jnp.zeros((L,), jnp.float32)
-            out = fused_mha_lanes(q, k, v, kmask, self.heads, hd ** -0.5)
+            out = fused_mha_lanes_qkv(in_proj, kmask, self.heads, hd ** -0.5)
             return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+        q, k, v = jnp.split(in_proj, 3, axis=-1)
         q = q.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)

