@@ -43,6 +43,9 @@ class PairBatch(NamedTuple):
     instance_id: np.ndarray   # [B] host-side instance tags (not traced)
     id_a: np.ndarray = None   # [B] host-side anchor ids "scene img obj"
     id_q: np.ndarray = None   # [B] host-side query ids
+    text_emb: jnp.ndarray = None  # [B, P, D] optional precomputed prompt
+                                  # embeddings (frozen text tower output);
+                                  # when set, the model skips the text tower
 
     @property
     def batch_size(self) -> int:

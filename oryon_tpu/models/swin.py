@@ -31,7 +31,9 @@ class SwinConfig:
     heads: Tuple[int, int] = (4, 8)
     window: int = 7
     mlp_ratio: float = 4.0
-    attn_impl: str = "einsum"              # einsum | noattn (profiling floor)
+    # einsum | pallas (packed windows) | band (fused map-level kernel, no
+    # HBM partition) | noattn (profiling floor)
+    attn_impl: str = "einsum"
 
 
 def relative_position_index(window: int) -> np.ndarray:
@@ -81,8 +83,34 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None,
                  nw: int | None = None) -> jnp.ndarray:
-        """x: [num_windows*B, w*w, C]; mask: [num_windows, w*w, w*w] or None;
-        nw: windows per image (needed by the pallas path when mask is None)."""
+        """x: [num_windows*B, w*w, C] — or, for the "band" impl, the whole
+        padded/rolled map [B, Hp, Wp, C] (the kernel partitions in VMEM);
+        mask: [num_windows, w*w, w*w] or None;
+        nw: windows per image (needed by the pallas/band paths when mask
+        is None)."""
+        if self.attn_impl == "band":
+            # fused-layout kernel: window partition/reverse never touch HBM
+            # (ops/pallas/swin_attn.py band_window_attention)
+            from oryon_tpu.ops.pallas.swin_attn import band_window_attention
+            B, Hp, Wp, C = x.shape
+            N = self.window * self.window
+            hd = C // self.heads
+            qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+            table = self.param("relative_position_bias_table",
+                               nn.initializers.normal(0.02),
+                               ((2 * self.window - 1) ** 2, self.heads),
+                               jnp.float32)
+            idx = relative_position_index(self.window)
+            bias = table[idx.reshape(-1)].reshape(N, N, self.heads)
+            bias = bias.transpose(2, 0, 1)
+            nw_ = (Hp // self.window) * (Wp // self.window)
+            comb = jnp.broadcast_to(bias[None], (nw_, self.heads, N, N))
+            if mask is not None:
+                comb = comb + mask[:, None]
+            out = band_window_attention(qkv, comb, self.heads, self.window,
+                                        hd ** -0.5)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
         Bw, N, C = x.shape
         hd = C // self.heads
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
@@ -155,11 +183,18 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(shift_attention_mask(Hp, Wp, w, shift))
         else:
             mask = None
-        wins = _window_partition(x, w)
-        wins = WindowAttention(self.dim, self.heads, w, self.dtype,
-                               self.attn_impl, name="attn")(
-                                   wins, mask, nw=(Hp // w) * (Wp // w))
-        x = _window_reverse(wins, w, B, Hp, Wp)
+        if self.attn_impl == "band":
+            # map-level attention: the kernel does the window partition in
+            # VMEM, so no [Bw, N, C] tensors ever exist in HBM
+            x = WindowAttention(self.dim, self.heads, w, self.dtype,
+                                self.attn_impl, name="attn")(
+                                    x, mask, nw=(Hp // w) * (Wp // w))
+        else:
+            wins = _window_partition(x, w)
+            wins = WindowAttention(self.dim, self.heads, w, self.dtype,
+                                   self.attn_impl, name="attn")(
+                                       wins, mask, nw=(Hp // w) * (Wp // w))
+            x = _window_reverse(wins, w, B, Hp, Wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = x[:, :H, :W]

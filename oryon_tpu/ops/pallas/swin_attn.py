@@ -125,3 +125,102 @@ def packed_window_attention(
         interpret=interpret,
     )(qp, kp, vp, biasp)
     return out.reshape(Bw, N, C)
+
+
+def _band_kernel(qkv_ref, bias_ref, out_ref, qkvp_ref, a_ref, outp_ref, *,
+                 heads: int, window: int, scale: float):
+    """One program = one w-row band of one image's (padded, rolled) map.
+
+    qkv_ref: [1, w, Wp, 3C]; bias_ref: [1, nwb, h, N, N];
+    out_ref: [1, w, Wp, C].
+    Scratch: qkvp [PN, 3C], a [PN, PN] f32, outp [PN, C]  (PN = nwb * N).
+
+    The band contains nwb whole windows as column stripes; extracting them is
+    a VMEM relayout, so the HBM-level window partition/reverse transposes of
+    the XLA path disappear entirely. All nwb windows attend in ONE
+    block-diagonal [PN, PN] matmul per head (off-diagonal killed at -1e9).
+    """
+    w = window
+    N = w * w
+    C3 = qkv_ref.shape[-1]
+    C = C3 // 3
+    hd = C // heads
+    nwb = qkv_ref.shape[2] // w
+    PN = nwb * N
+
+    for wdx in range(nwb):
+        qkvp_ref[wdx * N:(wdx + 1) * N, :] = (
+            qkv_ref[0, :, wdx * w:(wdx + 1) * w, :].reshape(N, C3))
+
+    # NOTE: a diagonal-block-only softmax variant (zeros off-diagonal, exp
+    # on nwb x [N, N] instead of [PN, PN]) was traced SLOWER (19.4 vs 14.7
+    # ms tower) — Mosaic relayouts for the 49-row unaligned block slices
+    # cost more than the extra exp work they save. Full-matrix softmax with
+    # a -1e9 block-diagonal additive stays.
+    for h in range(heads):
+        qs = qkvp_ref[:, h * hd:(h + 1) * hd]
+        ks = qkvp_ref[:, C + h * hd:C + (h + 1) * hd]
+        vs = qkvp_ref[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        a_ref[:] = jnp.full((PN, PN), NEG, jnp.float32)
+        for p in range(nwb):
+            a_ref[p * N:(p + 1) * N, p * N:(p + 1) * N] = bias_ref[0, p, h]
+        s = jax.lax.dot_general(
+            qs, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + a_ref[:]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        prob = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        outp_ref[:, h * hd:(h + 1) * hd] = jnp.dot(
+            prob, vs, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    for wdx in range(nwb):
+        out_ref[0, :, wdx * w:(wdx + 1) * w, :] = (
+            outp_ref[wdx * N:(wdx + 1) * N, :].reshape(w, w, C))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window", "scale",
+                                             "interpret"))
+def band_window_attention(
+    qkv_map: jnp.ndarray,   # [B, Hp, Wp, 3C], Hp/Wp window multiples,
+                            # already padded + (for shifted blocks) rolled
+    bias: jnp.ndarray,      # [nw, heads, N, N] additive (rel-pos + mask),
+                            # nw row-major over the (Hp/w, Wp/w) window grid
+    heads: int,
+    window: int,
+    scale: float,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Window attention directly on the feature map (no HBM partition)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Hp, Wp, C3 = qkv_map.shape
+    C = C3 // 3
+    w = window
+    N = w * w
+    assert Hp % w == 0 and Wp % w == 0, (Hp, Wp, w)
+    nbands = Hp // w
+    nwb = Wp // w
+    assert bias.shape[0] == nbands * nwb, (bias.shape, nbands, nwb)
+    PN = nwb * N
+    biasr = bias.astype(jnp.float32).reshape(nbands, nwb, heads, N, N)
+
+    kern = functools.partial(_band_kernel, heads=heads, window=w, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nbands),
+        in_specs=[
+            pl.BlockSpec((1, w, Wp, C3), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nwb, heads, N, N), lambda b, r: (r, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w, Wp, C), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), qkv_map.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((PN, C3), qkv_map.dtype),
+            pltpu.VMEM((PN, PN), jnp.float32),
+            pltpu.VMEM((PN, C), qkv_map.dtype),
+        ],
+        interpret=interpret,
+    )(qkv_map, biasr)

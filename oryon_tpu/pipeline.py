@@ -288,6 +288,43 @@ def make_text_cache(model, params):
     return get
 
 
+def make_train_text_cache(model, params):
+    """Content-keyed prompt-embedding cache for TRAINING.
+
+    The frozen text tower re-encoding B x 80 prompt sequences was ~40% of
+    the measured train step (traced — BASELINE.md); its params never change
+    (optimizer partition zeroes them), so embeddings can be reused across
+    steps with identical numerics.  Unlike the eval cache (per-class), keys
+    are the token bytes: synset/template augmentation varies prompts per
+    sample (reference datasets.py:354-367).  Holds its own copy of the
+    text-tower subtree so donated train-state buffers can't invalidate it.
+    """
+    import jax as _jax
+
+    sub = {"params": {"vlm_text": _jax.tree_util.tree_map(
+        jnp.copy, params["params"]["vlm_text"])}}
+    encode = _jax.jit(lambda p, ids: model.apply(
+        p, ids, method=model.encode_prompts))
+    cache: Dict = {}
+
+    max_entries = 4096  # ~1 GB of [80, 768] f32 rows; FIFO beyond that
+
+    def get(prompt_ids) -> jnp.ndarray:
+        ids_np = np.asarray(prompt_ids)
+        rows = []
+        for i in range(ids_np.shape[0]):
+            k = ids_np[i].tobytes()
+            if k not in cache:
+                # fixed [1, P, L] shape -> one compile, reused for every miss
+                cache[k] = encode(sub, jnp.asarray(ids_np[i:i + 1]))[0]
+                if len(cache) > max_entries:
+                    cache.pop(next(iter(cache)))
+            rows.append(cache[k])
+        return jnp.stack(rows)
+
+    return get
+
+
 def run_test_epoch(
     pipeline_fn,
     dataset,

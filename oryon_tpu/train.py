@@ -101,7 +101,13 @@ def create_train_state(
 
 
 def loss_and_metrics(model, loss_cfg, params, batch: PairBatch, key):
-    out = model.apply(params, batch.anchor.rgb, batch.query.rgb, batch.prompt_ids)
+    # batch.text_emb (per-class prompt-embedding cache, pipeline.py
+    # make_train_text_cache) skips the frozen text tower: identical numerics
+    # (stop-gradient output), and the tower re-encoding 32x80 identical
+    # prompt sequences was ~40% of the step (traced; BASELINE.md)
+    out = model.apply(params, batch.anchor.rgb, batch.query.rgb,
+                      batch.prompt_ids if batch.text_emb is None else None,
+                      batch.text_emb)
     input_hw = tuple(batch.anchor.rgb.shape[1:3])
     lo = feature_loss(
         out.featmap_a, out.featmap_q, out.mask_a, out.mask_q,

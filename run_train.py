@@ -122,12 +122,18 @@ def main(argv):
     shard = ((jax.process_index(), jax.process_count())
              if jax.process_count() > 1 else None)
 
+    # frozen-text-tower embedding cache: identical numerics, removes the
+    # ~40% of the step spent re-encoding recurring prompt sets (traced)
+    from oryon_tpu.pipeline import make_train_text_cache
+    text_cache = make_train_text_cache(model, state.params)
+
     for epoch in range(start_epoch, cfg.training.n_epochs):
         for bi, batch in enumerate(train_ds.batches(cfg.dataset.batch_size,
                                                     shuffle=True,
                                                     drop_last=True,
                                                     shard=shard)):
             key, sub = jax.random.split(key)
+            batch = batch._replace(text_emb=text_cache(batch.prompt_ids))
             batch = shard_batch(device_fields(batch), mesh)
             state, metrics = step_fn(state, batch, sub)
             if bi % 10 == 0:

@@ -168,6 +168,32 @@ def test_train_step_decreases_loss_and_updates_only_trainable():
     assert changed_trainable
 
 
+def test_train_text_cache_equivalence():
+    """Train step with the content-keyed text-embedding cache == without."""
+    from oryon_tpu.pipeline import make_train_text_cache
+    from oryon_tpu.train import create_train_state, jit_train_step
+    model = tiny_oryon()
+    batch = synthetic_pair_batch(seed=2, batch=2, img_hw=(28, 28), n_corrs=32,
+                                 n_prompts=2, context_len=16, vocab=600)
+    state = create_train_state(model, KEY, batch, lr=3e-4, total_steps=50)
+    cache = make_train_text_cache(model, state.params)
+    emb = cache(batch.prompt_ids)
+    # direct tower output == cached rows (and second call hits the cache)
+    ref_emb = model.apply(state.params, batch.prompt_ids,
+                          method=model.encode_prompts)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb),
+                               atol=1e-5, rtol=1e-5)
+    emb2 = cache(batch.prompt_ids)
+    np.testing.assert_array_equal(np.asarray(emb), np.asarray(emb2))
+
+    step = jit_train_step(donate=False)
+    _, m_plain = step(state, batch, jax.random.PRNGKey(3))
+    _, m_cached = step(state, batch._replace(text_emb=emb),
+                       jax.random.PRNGKey(3))
+    assert float(m_plain["loss/total"]) == pytest.approx(
+        float(m_cached["loss/total"]), rel=1e-5)
+
+
 def test_train_step_on_8_device_mesh():
     """DP: batch sharded over the data axis, params replicated."""
     from oryon_tpu.train import create_train_state, train_step

@@ -48,7 +48,8 @@ def test_packed_window_attention_matches_einsum(shifted):
                                atol=2e-4, rtol=2e-4)
 
 
-def test_swin_guidance_pallas_impl_matches_einsum():
+@pytest.mark.parametrize("impl", ["pallas", "band"])
+def test_swin_guidance_kernel_impls_match_einsum(impl):
     """Full tower at a small but shift-exercising resolution (96 -> 24-token
     grids padded to 28; both shifted and unshifted blocks run)."""
     imgs = jnp.array(np.random.RandomState(1).rand(1, 96, 96, 3)
@@ -56,10 +57,10 @@ def test_swin_guidance_pallas_impl_matches_einsum():
     ein = SwinGuidance(SwinConfig(attn_impl="einsum"))
     params = ein.init(KEY, imgs)
     g_ref = ein.apply(params, imgs)
-    pal = SwinGuidance(SwinConfig(attn_impl="pallas"))
+    ker = SwinGuidance(SwinConfig(attn_impl=impl))
     with _Interpret():
-        g_pal = pal.apply(params, imgs)
-    for a, b in zip(g_ref, g_pal):
+        g_ker = ker.apply(params, imgs)
+    for a, b in zip(g_ref, g_ker):
         # bf16 block compute bounds the agreement
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
