@@ -281,6 +281,11 @@ class BatchedEvaluator(Evaluator):
         self._cls_tensors: Dict = {}
         self._caps = None
         self._runner = None
+        # deferred-fetch queue: device->host copies cost ~25 ms each through
+        # the relay; registration only ENQUEUES the device result arrays and
+        # flush() fetches them (one stacked array per class group) when the
+        # summary is actually needed — the sweep loop never blocks on eval
+        self._pending: List = []
 
     @staticmethod
     def _up8(n: int) -> int:
@@ -367,8 +372,6 @@ class BatchedEvaluator(Evaluator):
                 return m1, m2
 
             mssd_r, mspd_r = jax.vmap(one)(pred, gt, K)
-            out = {"errR": errR, "errT": errT, "add": add_ok,
-                   "mssd": mssd_r, "mspd": mspd_r}
             if compute_vsd:
                 mesh = Mesh(mv, mf, mfv)
 
@@ -380,8 +383,12 @@ class BatchedEvaluator(Evaluator):
                     return vsd_recall(vsd_errors(d_est, d_gt, d, k, delta,
                                                  taus, diam))
 
-                out["vsd"] = jax.vmap(one_vsd)(pred, gt, K, depth)
-            return out
+                vsd_r = jax.vmap(one_vsd)(pred, gt, K, depth)
+            else:
+                vsd_r = jnp.zeros_like(mssd_r)
+            # ONE stacked array -> one device->host fetch per class group
+            return jnp.stack([errR, errT, add_ok, mssd_r, mspd_r, vsd_r],
+                             axis=1)
 
         self._runner = run
         return run
@@ -428,35 +435,62 @@ class BatchedEvaluator(Evaluator):
                       jnp.asarray(cameras[padded]), jnp.asarray(d),
                       t["pts"], t["ptsw"], t["syms"], t["mv"], t["mf"],
                       t["mfv"], t["diam"], t["add_diam"], t["symmetric"])
-            pending.append((sel, out))  # keep device arrays; fetch later
-        for sel, out in pending:
-            n = len(sel)
-            out = {k: np.asarray(v)[:n] for k, v in out.items()}
-            res[sel, 0] = out["errR"]
-            res[sel, 1] = out["errT"]
-            res[sel, 2] = out["add"]
-            res[sel, 3] = out["mssd"]
-            res[sel, 4] = out["mspd"]
-            if self.compute_vsd:
-                res[sel, 5] = out["vsd"]
+            pending.append((sel, out))  # keep device arrays; fetch in flush()
+        self._pending.append(dict(
+            pending=pending, B=B, iou_a=np.asarray(iou_a),
+            iou_q=np.asarray(iou_q), cls_ids=list(cls_ids),
+            instance_ids=list(instance_ids), failed=failed, zero=zero))
 
-        self.register_train(iou_a, iou_q)
-        for i in range(B):
-            self.counts["Missing segm"].append(0)
-            self.counts["Failed pose"].append(int(failed[i]))
-            self.counts["Zero pose"].append(int(zero[i]))
-            errR, errT = res[i, 0], res[i, 1]
-            self.metrics["R error"].append(float(errR))
-            self.metrics["T error"].append(float(errT))
-            for r_th, t_th in self.POSE_RECALL_TH:
-                self.metrics[f"Recall ({r_th}deg, {t_th}cm)"].append(
-                    float(errR <= r_th and errT <= t_th))
-            self.metrics["ADD(S)-0.1d"].append(float(res[i, 2]))
-            self.metrics["MSSD"].append(float(res[i, 3]))
-            self.metrics["MSPD"].append(float(res[i, 4]))
-            if self.compute_vsd:
-                self.metrics["VSD"].append(float(res[i, 5]))
-                self.metrics["AR"].append(
-                    float((res[i, 3] + res[i, 4] + res[i, 5]) / 3.0))
-            self.metrics["cls_id"].append(cls_ids[i])
-            self.metrics["instance_id"].append(instance_ids[i])
+    def flush(self) -> None:
+        """Resolve all deferred registrations (fetches the queued device
+        arrays — one per class group — and appends the host-side rows)."""
+        for item in self._pending:
+            B = item["B"]
+            res = np.zeros((B, 6), np.float64)
+            for sel, out in item["pending"]:
+                res[sel] = np.asarray(out)[: len(sel)]
+            self.register_train(item["iou_a"], item["iou_q"])
+            for i in range(B):
+                self.counts["Missing segm"].append(0)
+                self.counts["Failed pose"].append(int(item["failed"][i]))
+                self.counts["Zero pose"].append(int(item["zero"][i]))
+                errR, errT = res[i, 0], res[i, 1]
+                self.metrics["R error"].append(float(errR))
+                self.metrics["T error"].append(float(errT))
+                for r_th, t_th in self.POSE_RECALL_TH:
+                    self.metrics[f"Recall ({r_th}deg, {t_th}cm)"].append(
+                        float(errR <= r_th and errT <= t_th))
+                self.metrics["ADD(S)-0.1d"].append(float(res[i, 2]))
+                self.metrics["MSSD"].append(float(res[i, 3]))
+                self.metrics["MSPD"].append(float(res[i, 4]))
+                if self.compute_vsd:
+                    self.metrics["VSD"].append(float(res[i, 5]))
+                    self.metrics["AR"].append(
+                        float((res[i, 3] + res[i, 4] + res[i, 5]) / 3.0))
+                self.metrics["cls_id"].append(item["cls_ids"][i])
+                self.metrics["instance_id"].append(item["instance_ids"][i])
+        self._pending = []
+
+    def get_means(self):
+        self.flush()
+        return super().get_means()
+
+    def get_obj_means(self, cls_id):
+        self.flush()
+        return super().get_obj_means(cls_id)
+
+    def get_latex_str(self) -> str:
+        self.flush()
+        return super().get_latex_str()
+
+    def test_summary(self):
+        self.flush()
+        return super().test_summary()
+
+    def save(self, fp) -> None:
+        self.flush()
+        super().save(fp)
+
+    def clear(self):
+        self._pending = []
+        super().clear()
