@@ -460,7 +460,9 @@ class PairDataset:
             prompt_ids=jnp.array(prompt_ids),
             corrs=jnp.array(np.stack([p["corrs"] for p in pairs])),
             corr_valid=jnp.array(np.stack([p["corr_valid"] for p in pairs])),
-            valid=jnp.array(np.asarray([p["valid"] for p in pairs], np.float32)),
+            # host-side: the eval loop reads it every batch (a device array
+            # would cost a ~25 ms fetch); jit uploads it on demand for train
+            valid=np.asarray([p["valid"] for p in pairs], np.float32),
             rel_pose=jnp.array(np.stack([p["rel_pose"] for p in pairs]).astype(np.float32)),
             cls_id=np.asarray([p["cls_id"] for p in pairs]),
             instance_id=np.asarray([p["instance_id"] for p in pairs]),

@@ -57,6 +57,11 @@ class PipelineOutputs(NamedTuple):
     mask_q: jnp.ndarray
     corrs: jnp.ndarray            # [B, N, 4] featmap-frame correspondences
     corr_valid: jnp.ndarray       # [B, N]
+    packed: jnp.ndarray = None    # [B, 36] f32: rel(16) | abs(16) | n_corrs
+                                  # | det | iou_a | iou_q — the host loop's
+                                  # whole per-batch read in ONE fetch
+                                  # (device->host copies cost ~25 ms each
+                                  # through the relay)
 
 
 def _pose_from_corrs(
@@ -196,12 +201,20 @@ def build_pipeline(
         T_rel = jnp.where(has_corrs[:, None, None], T_rel, eye)
         pred_q = jnp.einsum("bij,bjk->bik", T_rel, batch.anchor.pose)
 
+        packed = jnp.concatenate([
+            T_rel.reshape(B, 16), pred_q.reshape(B, 16),
+            n_corrs.reshape(B, 1).astype(jnp.float32),
+            det_valid.reshape(B, 1).astype(jnp.float32),
+            iou_a.reshape(B, 1).astype(jnp.float32),
+            iou_q.reshape(B, 1).astype(jnp.float32),
+        ], axis=1)
         return PipelineOutputs(
             pred_rel_pose=T_rel, pred_pose=pred_q,
             n_corrs=n_corrs, detection_valid=det_valid,
             iou_a=iou_a, iou_q=iou_q,
             mask_a=pred_mask_a, mask_q=pred_mask_q,
             corrs=corrs_yx, corr_valid=corr_valid,
+            packed=packed,
         )
 
     from oryon_tpu.data.pair_batch import device_fields
@@ -383,12 +396,23 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
     n_registered = 0
     if True:
         B = batch.corrs.shape[0]
-        det = np.asarray(out.detection_valid)
-        n_corrs = np.asarray(out.n_corrs)
-        iou_a = np.asarray(out.iou_a)
-        iou_q = np.asarray(out.iou_q)
-        pred_rel = np.asarray(out.pred_rel_pose)
-        pred_q = np.asarray(out.pred_pose)
+        if out.packed is not None:
+            # one fetch for all per-batch scalars (6 separate np.asarray
+            # calls cost ~150 ms/batch through the relay)
+            packed = np.asarray(out.packed)
+            pred_rel = packed[:, :16].reshape(B, 4, 4)
+            pred_q = packed[:, 16:32].reshape(B, 4, 4)
+            n_corrs = packed[:, 32]
+            det = packed[:, 33] > 0
+            iou_a = packed[:, 34]
+            iou_q = packed[:, 35]
+        else:
+            det = np.asarray(out.detection_valid)
+            n_corrs = np.asarray(out.n_corrs)
+            iou_a = np.asarray(out.iou_a)
+            iou_q = np.asarray(out.iou_q)
+            pred_rel = np.asarray(out.pred_rel_pose)
+            pred_q = np.asarray(out.pred_pose)
         valid = np.asarray(batch.valid)
         gt_pose_q = np.asarray(batch.query.pose)
         cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
