@@ -4,6 +4,12 @@ Mirrors the reference Hydra tree (reference: configs/config.yaml:1-97) as nested
 dataclasses with YAML loading and dotted-path CLI overrides, without a Hydra
 dependency.  Every field of the reference config has an equivalent here; extra
 TPU-specific knobs live under ``mesh`` and ``precision``.
+
+Deliberately omitted reference keys (verified complete otherwise):
+``device``/``corrs_device`` (GPU-vs-CPU placement — meaningless under XLA:
+everything runs on the TPU device) and the runtime-mutable ``tmp.*`` output
+paths (reference config.yaml:94-97 — replaced by the pure functions in
+checkpoint.py: results_dir/logs_dir/ckpt_dir).
 """
 from __future__ import annotations
 

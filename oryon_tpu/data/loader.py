@@ -19,7 +19,8 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, prefetch: int = 2,
                  num_threads: int = 4,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 sort_by_class: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,6 +29,7 @@ class PrefetchLoader:
         self.num_threads = num_threads
         self.process_index = process_index
         self.process_count = process_count
+        self.sort_by_class = sort_by_class
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -37,17 +39,23 @@ class PrefetchLoader:
 
     def _index_batches(self, rs: np.random.RandomState):
         order = np.arange(len(self.dataset))
+        if self.sort_by_class:
+            # group same-class pairs (fewer per-class metric programs per
+            # batch at test time — see dataset.batches)
+            keys = [str(inst[4]) for inst in self.dataset.instances]
+            order = order[np.argsort(np.asarray(keys)[order], kind="stable")]
         if self.shuffle:
             rs.shuffle(order)
         order = order[self.process_index::self.process_count]
         for s in range(0, len(order), self.batch_size):
             idx = order[s: s + self.batch_size]
-            if len(idx) < self.batch_size:
+            n_real = len(idx)
+            if n_real < self.batch_size:
                 if self.drop_last:
                     return
-                idx = np.concatenate([idx, np.full(self.batch_size - len(idx),
+                idx = np.concatenate([idx, np.full(self.batch_size - n_real,
                                                    idx[-1])])
-            yield idx
+            yield idx, n_real
 
     def __iter__(self) -> Iterator:
         rs = np.random.RandomState(getattr(self.dataset, "rs", np.random).randint(2 ** 31)
@@ -58,10 +66,12 @@ class PrefetchLoader:
 
         def worker():
             try:
-                for idx in batches:
+                for idx, n_real in batches:
                     if stop.is_set():
                         return
                     pairs = [self.dataset.get_pair(int(i)) for i in idx]
+                    for p in pairs[n_real:]:
+                        p["valid"] = 0.0   # final-batch pads (== batches())
                     out_q.put(self.dataset.collate(pairs))
             finally:
                 out_q.put(None)

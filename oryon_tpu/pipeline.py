@@ -349,9 +349,14 @@ def run_test_epoch(
     text_cache=None,
     save_hook=None,
     viz_dir=None,
+    loader=None,
 ):
     """Host loop: iterate batches, run the device pipeline, register metrics
-    (reference test_step + on_test_end, pipeline.py:306-370)."""
+    (reference test_step + on_test_end, pipeline.py:306-370).
+
+    ``loader``: optional batch iterable (e.g. data.loader.PrefetchLoader)
+    so image loading/collation runs in a background thread; falls back to
+    the dataset's synchronous ``batches``."""
     from oryon_tpu.eval.evaluator import pred_pose_csv_line
 
     n_registered = 0
@@ -363,10 +368,13 @@ def run_test_epoch(
 
     # one-batch lookahead: dispatch batch n+1 before fetching batch n's
     # outputs so device compute and host bookkeeping overlap
-    it = iter(dataset.batches(batch_size, sort_by_class=True)
-              if hasattr(dataset, "batches") and
-              "sort_by_class" in dataset.batches.__code__.co_varnames
-              else dataset.batches(batch_size))
+    if loader is not None:
+        it = iter(loader)
+    else:
+        it = iter(dataset.batches(batch_size, sort_by_class=True)
+                  if hasattr(dataset, "batches") and
+                  "sort_by_class" in dataset.batches.__code__.co_varnames
+                  else dataset.batches(batch_size))
     pending = []
     for bi, nxt in enumerate(it):
         key, sub = jax.random.split(key)

@@ -135,11 +135,13 @@ def main(argv):
     if cfg.viz_valid:
         viz_dir = os.path.join(rdir, "viz")
         os.makedirs(viz_dir, exist_ok=True)
+    from oryon_tpu.data.loader import PrefetchLoader
+    loader = PrefetchLoader(ds, cfg.dataset.batch_size, sort_by_class=True)
     with open(os.path.join(rdir, tag + ".csv"), "w") as csv_fp:
         n = run_test_epoch(pipe, ds, ev, cfg.dataset.batch_size, key,
                            csv_fp=csv_fp, compute_vsd=cfg.compute_vsd,
                            text_cache=text_cache, save_hook=save_hook,
-                           viz_dir=viz_dir)
+                           viz_dir=viz_dir, loader=loader)
     with open(os.path.join(rdir, tag + ".json"), "w") as f:
         ev.save(f)
     for row in ev.test_summary():

@@ -117,21 +117,21 @@ def main(argv):
 
     from oryon_tpu.data.pair_batch import device_fields
 
-    # multi-host: each process loads its strided split of the shared-order
-    # instance list (input over DCN; gradients psum over ICI)
-    shard = ((jax.process_index(), jax.process_count())
-             if jax.process_count() > 1 else None)
-
     # frozen-text-tower embedding cache: identical numerics, removes the
     # ~40% of the step spent re-encoding recurring prompt sets (traced)
     from oryon_tpu.pipeline import make_train_text_cache
     text_cache = make_train_text_cache(model, state.params)
 
+    # background-prefetching loader: batch assembly (PIL/numpy, one host
+    # core) overlaps the device step; multi-host processes read strided
+    # splits of the shared order (input over DCN; gradients psum over ICI)
+    from oryon_tpu.data.loader import PrefetchLoader
+    train_loader = PrefetchLoader(
+        train_ds, cfg.dataset.batch_size, shuffle=True, drop_last=True,
+        process_index=jax.process_index(), process_count=jax.process_count())
+
     for epoch in range(start_epoch, cfg.training.n_epochs):
-        for bi, batch in enumerate(train_ds.batches(cfg.dataset.batch_size,
-                                                    shuffle=True,
-                                                    drop_last=True,
-                                                    shard=shard)):
+        for bi, batch in enumerate(train_loader):
             key, sub = jax.random.split(key)
             batch = batch._replace(text_emb=text_cache(batch.prompt_ids))
             batch = shard_batch(device_fields(batch), mesh)
