@@ -109,11 +109,17 @@ def main(argv):
     # reference config training.freq_valid + validation_step)
     valid_ds = None
     valid_root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
-    if os.path.isdir(valid_root) and cfg.dataset.test.name in readers:
-        valid_ds = PairDataset(
-            readers[cfg.dataset.test.name](valid_root), cfg.dataset.test.split,
-            tokenizer, max_corrs=cfg.dataset.max_corrs,
-            img_size=cfg.dataset.img_size, augment=False, mask_type="oracle")
+    if os.path.isdir(valid_root):
+        try:
+            reader = _pick_reader(readers, cfg.dataset.test.name)
+        except KeyError:
+            reader = None
+        if reader is not None:
+            valid_ds = PairDataset(
+                reader(valid_root), cfg.dataset.test.split,
+                tokenizer, max_corrs=cfg.dataset.max_corrs,
+                img_size=cfg.dataset.img_size, augment=False,
+                mask_type="oracle")
 
     from oryon_tpu.data.pair_batch import device_fields
 
@@ -157,7 +163,8 @@ def main(argv):
 def run_validation(cfg, model, state, valid_ds, key, epoch):
     """Pose-metric validation pass (reference validation_step,
     pipeline.py:196-247), without VSD for speed."""
-    from oryon_tpu.eval.evaluator import Evaluator
+    from oryon_tpu.data.loader import PrefetchLoader
+    from oryon_tpu.eval.evaluator import BatchedEvaluator
     from oryon_tpu.ops.matching import MatchParams
     from oryon_tpu.pipeline import PipelineConfig, build_pipeline, run_test_epoch
 
@@ -168,11 +175,13 @@ def run_validation(cfg, model, state, valid_ds, key, epoch):
                           dist_th=cfg.test.dist_th),
     )
     pipe = build_pipeline(model, state.params, pcfg)
-    ev = Evaluator(cfg.exp_tag, compute_vsd=False)
+    ev = BatchedEvaluator(cfg.exp_tag, compute_vsd=False)
     ev.add_object_info(valid_ds.reader.object_info())
     ev.init_test()
     run_test_epoch(pipe, valid_ds, ev, cfg.dataset.batch_size, key,
-                   compute_vsd=False)
+                   compute_vsd=False,
+                   loader=PrefetchLoader(valid_ds, cfg.dataset.batch_size,
+                                         sort_by_class=True))
     means = ev.get_means()
     print(f"valid epoch {epoch}: " +
           " ".join(f"{k}={v:.3f}" for k, v in sorted(means.items())

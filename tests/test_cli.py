@@ -60,6 +60,30 @@ def test_run_train_cli(nocs_root, tmp_path, capsys):
     assert any(l.endswith(".jsonl") for l in logs)
 
 
+def test_run_train_cli_with_validation(nocs_root, tmp_path, capsys):
+    """Training with a live validation pass every epoch (reference
+    validation_step semantics: pose metrics, no VSD)."""
+    import run_train
+    run_train.main([
+        f"dataset.root={os.path.dirname(nocs_root)}",
+        f"dataset.train.name={os.path.basename(nocs_root)}",
+        "dataset.train.split=test_split",
+        f"dataset.test.name={os.path.basename(nocs_root)}",
+        "dataset.test.split=test_split",
+        "model.size=small",
+        "dataset.batch_size=2",
+        "dataset.img_size=[56,56]",
+        "training.n_epochs=1",
+        "training.freq_save=1",
+        "training.freq_valid=1",
+        f"exp_root={tmp_path}",
+        "exp_name=train_valid_smoke",
+    ])
+    captured = capsys.readouterr().out
+    assert "valid epoch 0:" in captured
+    assert "ADD(S)-0.1d=" in captured
+
+
 def test_compute_metrics_cli_cross_scores(nocs_root, tmp_path, capsys):
     """Double-entry scoring: offline scorer consumes run_test's CSV."""
     import run_test
