@@ -220,3 +220,35 @@ def test_batched_evaluator_matches_per_pair(rng):
     for k in m2:
         assert m1[k] == pytest.approx(m2[k], abs=1e-4), k
     assert ev1.metrics["instance_id"] == ev2.metrics["instance_id"]
+
+
+def test_batched_evaluator_flush_interleaved_failures(rng):
+    """Deferred batched registrations + immediate failures must produce
+    consistent parallel metric lists and counts."""
+    from oryon_tpu.eval.evaluator import BatchedEvaluator
+    from tests.conftest import random_pose
+
+    ev = BatchedEvaluator("t", compute_vsd=False)
+    pts = rng.randn(60, 3).astype(np.float32) * 30
+    ev.add_object_info({"a": ObjectInfo(pts, 60.0,
+                                        np.eye(3, 4, dtype=np.float32)[None])})
+    ev.init_test()
+
+    gt = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    gt[:, 2, 3] = 0.4
+    pred = gt.copy()
+    pred[:, 0, 3] += 1e-4   # 0.1 mm off: scores as success, not Zero pose
+    cams = np.tile(K, (2, 1, 1))
+    ev.register_test_batch(np.full(2, 0.9), np.full(2, 0.9), gt, pred, pred,
+                           ["a", "a"], cams, None, ["i0", "i1"])
+    ev.register_test_failure(0.1, 0.1, cls_id="a", instance_id="i2")
+    ev.register_test_batch(np.full(1, 0.7), np.full(1, 0.7), gt[:1], pred[:1],
+                           pred[:1], ["a"], cams[:1], None, ["i3"])
+    m = ev.get_means()
+    assert len(ev.metrics["R error"]) == 4
+    assert len(ev.metrics["instance_id"]) == 4
+    assert sum(ev.counts["Missing segm"]) == 1  # the explicit failure
+    assert m["ADD(S)-0.1d"] == pytest.approx(3 / 4)  # failure scores zero
+    # flush is idempotent
+    m2 = ev.get_means()
+    assert m == m2
