@@ -471,28 +471,21 @@ class PairDataset:
         )
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                drop_last: bool = False, sort_by_class: bool = False,
-                shard: tuple = None):
+                drop_last: bool = False, sort_by_class: bool = False):
         """Yield PairBatches; final short batch is padded with invalid
         duplicates so shapes stay static.  ``sort_by_class`` groups pairs of
         the same object class into the same batches (fewer per-class metric
         programs per batch at test time).
 
-        ``shard=(rank, world)``: multi-host input sharding — each process
-        reads only its strided slice of the (identically-ordered) instance
-        list, so a per-host DataLoader feeds its local mesh slice without
-        any cross-host coordination (SURVEY §2c: DCN only carries input
-        I/O; the shuffle uses the epoch-stable per-dataset RNG, identical
-        on every host for a shared seed)."""
+        Synchronous, single-process path (used by tests/dryrun); production
+        CLIs use data.loader.PrefetchLoader, which adds background
+        assembly and the multi-host strided split."""
         order = np.arange(len(self))
         if sort_by_class:
             keys = [str(inst[4]) for inst in self.instances]
             order = order[np.argsort(np.asarray(keys)[order], kind="stable")]
         if shuffle:
             self.rs.shuffle(order)
-        if shard is not None:
-            rank, world = shard
-            order = order[rank::world]
         for start in range(0, len(order), batch_size):
             idx = order[start: start + batch_size]
             if len(idx) < batch_size:

@@ -1,10 +1,21 @@
 """Background-prefetching batch loader.
 
 The reference overlaps input work with compute via 8 torch DataLoader worker
-processes (reference: pipeline.py:507-513).  Here a thread pool assembles
-PairBatches ahead of the device (numpy work releases the GIL in PIL/numpy),
-and a small prefetch queue keeps the accelerator fed; per-process sharding
-hooks support multi-host input pipelines.
+processes (reference: pipeline.py:507-513).  Here a single background thread
+assembles PairBatches ahead of the device (PIL/numpy release the GIL, and
+the sandbox has one host core anyway — the win is overlap with DEVICE time,
+not host parallelism), and a small prefetch queue keeps the accelerator fed;
+per-process sharding supports multi-host input pipelines.
+
+Multi-host invariants:
+  * the per-epoch shuffle seed comes from a host-independent counter
+    (base_seed + epoch), NOT from the dataset RNG — augmentation draws
+    consume that RNG a data-dependent number of times per host, so seeding
+    from it would desynchronize the shared order after the first epoch and
+    the strided shards would stop being disjoint;
+  * with ``drop_last`` every host yields exactly the same number of batches
+    (the floor over the smallest shard) — an extra batch on one host would
+    deadlock the cross-host gradient psum.
 """
 from __future__ import annotations
 
@@ -18,24 +29,33 @@ import numpy as np
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, prefetch: int = 2,
-                 num_threads: int = 4,
                  process_index: int = 0, process_count: int = 1,
-                 sort_by_class: bool = False):
+                 sort_by_class: bool = False, seed: int = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self.num_threads = num_threads
         self.process_index = process_index
         self.process_count = process_count
         self.sort_by_class = sort_by_class
+        if seed is None:
+            # draw ONCE at construction: all hosts construct the loader
+            # before any data work, so their dataset RNGs still agree here
+            seed = int(getattr(dataset, "rs", np.random).randint(2 ** 31))
+        self.base_seed = seed
+        self._epoch = 0
+
+    def _shard_len(self, rank: int) -> int:
+        n = len(self.dataset)
+        return (n - rank + self.process_count - 1) // self.process_count
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            # common count across hosts (see module docstring)
+            return min(self._shard_len(r) for r in
+                       range(self.process_count)) // self.batch_size
+        return -(-self._shard_len(self.process_index) // self.batch_size)
 
     def _index_batches(self, rs: np.random.RandomState):
         order = np.arange(len(self.dataset))
@@ -47,7 +67,11 @@ class PrefetchLoader:
         if self.shuffle:
             rs.shuffle(order)
         order = order[self.process_index::self.process_count]
+        limit = len(self) if self.drop_last else None
+        emitted = 0
         for s in range(0, len(order), self.batch_size):
+            if limit is not None and emitted >= limit:
+                return
             idx = order[s: s + self.batch_size]
             n_real = len(idx)
             if n_real < self.batch_size:
@@ -55,11 +79,13 @@ class PrefetchLoader:
                     return
                 idx = np.concatenate([idx, np.full(self.batch_size - n_real,
                                                    idx[-1])])
+            emitted += 1
             yield idx, n_real
 
     def __iter__(self) -> Iterator:
-        rs = np.random.RandomState(getattr(self.dataset, "rs", np.random).randint(2 ** 31)
-                                   if self.shuffle else 0)
+        rs = np.random.RandomState(
+            (self.base_seed + self._epoch) % (2 ** 31) if self.shuffle else 0)
+        self._epoch += 1
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         batches = list(self._index_batches(rs))
         stop = threading.Event()

@@ -55,3 +55,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def place_params(params: Any, mesh: Mesh) -> Any:
+    """Replicate parameters over ``mesh`` — EXCEPT leaves that already carry
+    a sharding on this mesh (e.g. tensor-parallel shards from
+    shard_params_tp), which keep it.  A blanket replicate() would silently
+    all-gather TP shards onto every device."""
+    repl = replicate_sharding(mesh)
+
+    def _place(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(_place, params)

@@ -225,8 +225,9 @@ def build_pipeline(
     jitted = jax.jit(run)
 
     if mesh is not None:
-        from oryon_tpu.parallel import replicate, shard_batch
-        params = replicate(params, mesh)
+        from oryon_tpu.parallel import shard_batch
+        from oryon_tpu.parallel.mesh import place_params
+        params = place_params(params, mesh)
 
         def wrapped(key, batch: PairBatch, text_emb=None) -> PipelineOutputs:
             sbatch = shard_batch(device_fields(batch), mesh)
@@ -324,16 +325,25 @@ def make_train_text_cache(model, params):
 
     def get(prompt_ids) -> jnp.ndarray:
         ids_np = np.asarray(prompt_ids)
-        rows = []
-        for i in range(ids_np.shape[0]):
-            k = ids_np[i].tobytes()
-            if k not in cache:
-                # fixed [1, P, L] shape -> one compile, reused for every miss
-                cache[k] = encode(sub, jnp.asarray(ids_np[i:i + 1]))[0]
-                if len(cache) > max_entries:
-                    cache.pop(next(iter(cache)))
-            rows.append(cache[k])
-        return jnp.stack(rows)
+        B = ids_np.shape[0]
+        keys = [ids_np[i].tobytes() for i in range(B)]
+        # dedupe misses; ONE fixed-shape [B, P, L] encode covers them all
+        # (per-row encodes would serialize up to B ~50 ms program launches
+        # per step on cold/augmentation-heavy epochs)
+        miss: Dict = {}
+        for i, k in enumerate(keys):
+            if k not in cache and k not in miss:
+                miss[k] = i
+        if miss:
+            arr = np.repeat(ids_np[:1], B, axis=0)
+            mk = list(miss)
+            arr[: len(mk)] = ids_np[[miss[k] for k in mk]]
+            embs = encode(sub, jnp.asarray(arr))
+            for j, k in enumerate(mk):
+                cache[k] = embs[j]
+            while len(cache) > max_entries:
+                cache.pop(next(iter(cache)))
+        return jnp.stack([cache[k] for k in keys])
 
     return get
 

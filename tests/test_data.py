@@ -156,18 +156,29 @@ def test_pair_dataset_pads_last_batch(nocs_root):
     assert float(b.valid.sum()) == 2.0  # two real pairs, two invalid pads
 
 
-def test_pair_dataset_multihost_shard(nocs_root):
-    """shard=(rank, world) splits the shared instance order disjointly and
-    exhaustively across processes."""
+def test_loader_multihost_shard_stays_disjoint_across_epochs(nocs_root):
+    """The per-host strided split must stay disjoint/exhaustive on EVERY
+    epoch — the shuffle seed is host-independent (base + epoch), immune to
+    the data-dependent augmentation draws that desynchronize dataset.rs."""
+    from oryon_tpu.data.loader import PrefetchLoader
     tok = ClipTokenizer()
-    ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
-                     max_corrs=16, img_size=(56, 56), n_prompts=3)
-    ids = []
-    for rank in range(2):
-        for b in ds.batches(batch_size=1, shard=(rank, 2)):
-            ids.extend(str(i) for i in b.instance_id[np.asarray(b.valid) > 0])
-    assert len(ids) == len(ds)
-    assert len(set(ids)) == len(ds)
+
+    def make(rank):
+        ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                         max_corrs=16, img_size=(56, 56), n_prompts=3,
+                         augment=True, seed=7)
+        return PrefetchLoader(ds, 1, shuffle=True,
+                              process_index=rank, process_count=2)
+
+    l0, l1 = make(0), make(1)
+    for epoch in range(3):
+        ids = []
+        for ld in (l0, l1):
+            for b in ld:
+                ids.extend(str(i) for i in
+                           np.asarray(b.instance_id)[np.asarray(b.valid) > 0])
+        assert len(ids) == 2, (epoch, ids)
+        assert len(set(ids)) == 2, (epoch, ids)
 
 
 def test_augment_pair_flip_consistency(rng):

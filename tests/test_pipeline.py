@@ -272,3 +272,32 @@ def test_viz_tracked(tmp_path):
     import os
     files = os.listdir(tmp_path)
     assert any("mask" in f for f in files) and any("corrs" in f for f in files)
+
+
+def test_place_params_preserves_tp_shards():
+    """place_params (used by build_pipeline's mesh path) must keep
+    tensor-parallel shardings instead of re-replicating them."""
+    from jax.sharding import PartitionSpec as P
+    from oryon_tpu.parallel import make_mesh
+    from oryon_tpu.parallel.mesh import place_params
+    from oryon_tpu.parallel.tp import shard_params_tp
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = tiny_oryon()
+    batch = synthetic_pair_batch(seed=0, batch=2, img_hw=(28, 28), n_corrs=16,
+                                 n_prompts=2, context_len=16, vocab=600)
+    params = model.init(KEY, batch.anchor.rgb, batch.query.rgb,
+                        batch.prompt_ids)
+    tp = shard_params_tp(params, mesh)
+    placed = place_params(tp, mesh)
+    leaves = jax.tree_util.tree_leaves_with_path(placed)
+    n_model_sharded = 0
+    for path, leaf in leaves:
+        spec = leaf.sharding.spec
+        if any(ax == "model" for ax in spec if ax is not None):
+            n_model_sharded += 1
+    assert n_model_sharded > 0, "TP shardings were clobbered by replication"
+    # and plain (unsharded) params come out fully replicated
+    placed2 = place_params(params, mesh)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(placed2):
+        assert all(ax is None for ax in leaf.sharding.spec)
