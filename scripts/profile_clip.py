@@ -73,6 +73,8 @@ def main() -> None:
             return _run_blocks(h, None, 1024, 16, 24, jnp.bfloat16, True,
                                self.attn_impl)
 
+    # (the "fused" impl needs the tower-level pad/seg plumbing — measure it
+    # via the full tower + jax.profiler traces instead, see CLAUDE.md)
     for impl in ("einsum", "flash", "noattn"):
         m = Blocks(attn_impl=impl)
         p = m.init(jax.random.PRNGKey(0), x[:1])
