@@ -185,3 +185,30 @@ def test_bf16_matching_close_to_fp32(rng):
     assert np.abs(d32 - d16).max() < 4e-3
     same = (np.asarray(o32.yx)[v] == np.asarray(o16.yx)[v]).all(1).mean()
     assert same > 0.9, f"only {same:.2%} of matches identical"
+
+
+def test_capacity_insensitivity(rng):
+    """SURVEY §7 risk 2: the fixed source capacity replaces the reference's
+    ragged ROI extraction; when the mask population fits under BOTH
+    capacities, the matched correspondence SET must be identical — proving
+    the score can't depend on the chosen capacity headroom."""
+    H = W = 32
+    D = 8
+    f1 = rng.randn(H, W, D).astype(np.float32)
+    f2 = rng.randn(H, W, D).astype(np.float32)
+    m1 = np.zeros((H, W), np.uint8)
+    m2 = np.zeros((H, W), np.uint8)
+    m1[4:12, 6:16] = 1   # 80 masked source pixels
+    m2[10:26, 8:24] = 1
+    key = jax.random.PRNGKey(0)
+
+    def run(cap):
+        p = MatchParams(src_capacity=cap, max_corrs=128, dist_th=2.0,
+                        chunk=32 * 32)
+        c = nn_correspondences(jnp.array(f1), jnp.array(f2),
+                               jnp.array(m1), jnp.array(m2), key, p)
+        rows = np.asarray(c.yx)[np.asarray(c.valid)]
+        return set(map(tuple, rows.tolist()))
+
+    small, large = run(128), run(512)
+    assert small == large and len(small) > 50
