@@ -182,3 +182,52 @@ def test_kabsch_quat_matches_svd(rng):
     pb = rng.randn(64, 4, 3).astype(np.float32)
     Tb = np.asarray(weighted_kabsch_quat(jnp.array(pa), jnp.array(pb)))
     assert np.abs(np.linalg.det(Tb[:, :3, :3]) - 1).max() < 1e-3
+
+
+def test_crop_decrop_roundtrip(rng):
+    """crop/decrop (reference utils/coordinates.py crop_coords) invert each
+    other and match the subtract-origin semantics."""
+    from oryon_tpu.geometry.coords import crop_coords, decrop_coords
+    c = jnp.array(rng.rand(5, 2).astype(np.float32) * 100)
+    origin = (12.0, 7.0)
+    cc = crop_coords(c, origin)
+    np.testing.assert_allclose(np.asarray(cc),
+                               np.asarray(c) - np.array([12.0, 7.0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(decrop_coords(cc, origin)),
+                               np.asarray(c), atol=1e-6)
+
+
+def test_distance_matrices_match_bruteforce(rng):
+    """Matmul-expansion sq_dist / cosine matrices == brute force (the MXU
+    replacement for reference pcd.pdist, utils/pcd.py:22-33)."""
+    from oryon_tpu.geometry.pcd import cosine_matrix, sq_dist_matrix
+    A = rng.randn(7, 5).astype(np.float32)
+    B = rng.randn(9, 5).astype(np.float32)
+    sq = np.asarray(sq_dist_matrix(jnp.array(A), jnp.array(B)))
+    ref = ((A[:, None] - B[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(sq, ref, atol=1e-4)
+    cs = np.asarray(cosine_matrix(jnp.array(A), jnp.array(B)))
+    An = A / np.linalg.norm(A, axis=-1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=-1, keepdims=True)
+    np.testing.assert_allclose(cs, An @ Bn.T, atol=1e-5)
+
+
+def test_sample_select_range_and_determinism():
+    """sample_select (reference torch_sample_select, misc.py:242-254):
+    indices stay in [0, n_avail) and are PRNG-deterministic."""
+    from oryon_tpu.geometry.pcd import sample_select
+    k = jax.random.PRNGKey(3)
+    idx = np.asarray(sample_select(k, jnp.asarray(13), 64))
+    assert idx.min() >= 0 and idx.max() < 13 and idx.shape == (64,)
+    idx2 = np.asarray(sample_select(k, jnp.asarray(13), 64))
+    np.testing.assert_array_equal(idx, idx2)
+
+
+def test_set_deterministic_seed_reproduces():
+    from oryon_tpu.utils.misc import set_deterministic_seed
+    set_deterministic_seed(11)
+    a = np.random.rand(3)
+    set_deterministic_seed(11)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
