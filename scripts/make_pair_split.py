@@ -86,12 +86,17 @@ def main(argv):
     readers = {"nocs": NocsReader, "toyl": ToylReader}
     name = cfg.dataset.test.name
     root = join(cfg.dataset.root, name)
-    reader = readers[name](root)
+    # prefix match tolerates suffixed dataset dirs (same as run_test CLI)
+    reader_cls = readers.get(name) or next(
+        (r for k, r in readers.items() if name.startswith(k)), None)
+    if reader_cls is None:
+        raise KeyError(f"no reader for dataset {name}")
+    reader = reader_cls(root)
 
     # enumerate instances: (scene, img, obj) from the reader's annotations
     rs = np.random.RandomState(seed)
     instances = []
-    if name == "nocs":
+    if name.startswith("nocs"):
         split_dir = join(root, "split/real_test")
         for scene_dir in sorted(os.listdir(split_dir)):
             scene_id = int(scene_dir.split("_")[1])
@@ -130,8 +135,8 @@ def main(argv):
         if pair_mode == "same_scene" and a[0] != q[0]:
             continue
         try:
-            item_a = reader.get_item(a[0], a[1], a[3] if name == "nocs" else a[2])
-            item_q = reader.get_item(q[0], q[1], q[3] if name == "nocs" else q[2])
+            item_a = reader.get_item(a[0], a[1], a[3] if name.startswith("nocs") else a[2])
+            item_q = reader.get_item(q[0], q[1], q[3] if name.startswith("nocs") else q[2])
         except (AssertionError, FileNotFoundError, KeyError):
             continue
         pose_a = np.asarray(item_a["pose"], np.float64).copy()
