@@ -40,9 +40,11 @@ class PrefetchLoader:
         self.process_count = process_count
         self.sort_by_class = sort_by_class
         if seed is None:
-            # draw ONCE at construction: all hosts construct the loader
-            # before any data work, so their dataset RNGs still agree here
-            seed = int(getattr(dataset, "rs", np.random).randint(2 ** 31))
+            # draw ONCE at construction (shuffle only — an eval loader must
+            # not perturb the dataset RNG stream): all hosts construct the
+            # loader before any data work, so their dataset RNGs agree here
+            seed = (int(getattr(dataset, "rs", np.random).randint(2 ** 31))
+                    if shuffle else 0)
         self.base_seed = seed
         self._epoch = 0
 
