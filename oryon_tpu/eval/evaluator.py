@@ -55,6 +55,7 @@ class Evaluator:
         self.objects: Dict = {}
         self.metrics: Dict[str, List] = {}
         self.counts: Dict[str, List] = {}
+        self._diam_cache: Dict = {}
 
     # -- object registry ---------------------------------------------------
     def add_object_info(self, objects: Dict[object, ObjectInfo]) -> None:
@@ -141,7 +142,12 @@ class Evaluator:
 
         obj = self.get_obj_info(cls_id)
         pts_m = obj.pts / 1000.0
-        add_diam = float(diameter(jnp.asarray(obj.pts))) / 1000.0
+        # per-class constant: cache it (the on-device diameter + host fetch
+        # costs ~25 ms/call through the relay, per pair otherwise)
+        if cls_id not in self._diam_cache:
+            self._diam_cache[cls_id] = float(
+                diameter(jnp.asarray(obj.pts))) / 1000.0
+        add_diam = self._diam_cache[cls_id]
         if obj.syms.shape[0] > 1:
             adds = float(compute_adds(jnp.asarray(pts_m), jnp.asarray(pred_pose),
                                       jnp.asarray(gt_pose)))
@@ -190,10 +196,11 @@ class Evaluator:
         self.metrics["MSSD"].append(0.0)
         self.metrics["MSPD"].append(0.0)
         if self.compute_iou:
-            iou_a = np.atleast_1d(np.asarray(iou_a, np.float64))
-            iou_q = np.atleast_1d(np.asarray(iou_q, np.float64))
-            self.metrics["Anchor IoU"].extend(iou_a.tolist())
-            self.metrics["Query IoU"].extend(iou_q.tolist())
+            # one failure = one row in EVERY metric list (vector inputs are
+            # reduced; extending Anchor/Query IoU by k rows while the other
+            # lists grow by 1 would desynchronize get_obj_means indexing)
+            self.metrics["Anchor IoU"].append(float(np.mean(iou_a)))
+            self.metrics["Query IoU"].append(float(np.mean(iou_q)))
             self.metrics["Mean IoU"].append(0.0)
             self.metrics["IoU > .25"].append(0.0)
             self.metrics["IoU > .5"].append(0.0)
@@ -403,6 +410,8 @@ class BatchedEvaluator(Evaluator):
         by ``depth_index[sel]`` — gathered and cast on-device, so the depth
         image never crosses the host boundary."""
         B = len(cls_ids)
+        assert depths is not None or not self.compute_vsd, \
+            "VSD needs scene depths (same contract as register_eval)"
         pred_pose = np.asarray(pred_pose, np.float32).copy()
         pred_pose_rel = np.asarray(pred_pose_rel, np.float32)
         gt_pose = np.asarray(gt_pose, np.float32)
@@ -416,7 +425,6 @@ class BatchedEvaluator(Evaluator):
 
         run = self._shared_fn()
         cameras = np.asarray(cameras, np.float32)
-        res = np.zeros((B, 6), np.float64)  # errR errT add mssd mspd vsd
         pending = []
         for c, idxs in by_cls.items():
             t = self._tensors(c)

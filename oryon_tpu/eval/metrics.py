@@ -19,6 +19,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from oryon_tpu.geometry.pcd import unit as _unit
+
 from oryon_tpu.geometry.pcd import sq_dist_matrix, transform_pcd
 from oryon_tpu.utils.precision import fp32_matmul
 
@@ -108,8 +110,6 @@ def fmr(
     return (inlier_ratio > inlier_th).astype(jnp.float32)
 
 
-def _unit(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
 def entropy(probs: jnp.ndarray, axis: int, norm: bool = False) -> jnp.ndarray:

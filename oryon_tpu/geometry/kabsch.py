@@ -174,7 +174,10 @@ def ransac_kabsch(
     # inverse-CDF on the cumulative validity mass).
     u = jax.random.uniform(key, (num_hypotheses, 4))
     cdf = jnp.cumsum(valid) / jnp.maximum(n_valid, 1.0)
-    idx = jnp.searchsorted(cdf, u.reshape(-1)).reshape(num_hypotheses, 4)
+    # side='right': u == 0.0 must NOT select row 0 when it is invalid
+    # (cdf[0] == 0); right-side search gives exact inverse-CDF semantics
+    idx = jnp.searchsorted(cdf, u.reshape(-1),
+                           side="right").reshape(num_hypotheses, 4)
     idx = jnp.clip(idx, 0, N - 1)
     sub_A = A[idx]  # [H, 4, 3]
     sub_B = B[idx]

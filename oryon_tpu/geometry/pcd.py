@@ -94,6 +94,12 @@ def pairwise_dist(A: jnp.ndarray, B: jnp.ndarray, kind: str = "L2") -> jnp.ndarr
     raise NotImplementedError(kind)
 
 
+def unit(x, eps: float = 1e-8):
+    """L2-normalize the last axis with an epsilon guard (shared helper for
+    matching and metric cosine paths)."""
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
 def cosine_matrix(A: jnp.ndarray, B: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Cosine similarity matrix (..., N, M) as a single normalized matmul."""
     An = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), eps)

@@ -33,7 +33,9 @@ def _run_flash(q, k, v, sm_scale, segment_ids):
     # Measured on v5e at [16, 16, 640, 64]: whole-sequence blocks with several
     # batch rows per program beat 128x128 tiling ~2x (fewer, fatter programs;
     # per-program launch overhead dominates at these sizes).
-    blk = min(1024, Lp)
+    # block_k(_major) must DIVIDE Lp (kernel _verify_block): use the largest
+    # 128-multiple divisor of Lp that is <= 1024
+    blk = next(b for b in range(min(1024, Lp), 0, -_LANE) if Lp % b == 0)
     bb = 8
     while B % bb:
         bb //= 2

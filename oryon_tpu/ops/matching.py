@@ -31,6 +31,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from oryon_tpu.geometry.pcd import unit as _unit
 from oryon_tpu.ops.sampling import masked_select, masked_sample, flat_to_yx
 
 
@@ -101,10 +102,6 @@ def _streaming_argmin(
     return min_d, arg
 
 
-def _unit(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
-
-
 @partial(jax.jit, static_argnames=("params",))
 def nn_correspondences(
     feats1: jnp.ndarray,   # [H, W, D]
@@ -124,7 +121,11 @@ def nn_correspondences(
 
     # static clamps so small feature maps work with production capacities
     src_cap = min(params.src_capacity, H * W)
-    chunk = params.chunk if (H * W) % params.chunk == 0 else H * W
+    # the chunk must divide H*W; falling back to H*W would materialize the
+    # full [S, HW] distance matrix (the exact blow-up streaming avoids), so
+    # pick the largest divisor of H*W that is <= params.chunk instead
+    chunk = params.chunk if (H * W) % params.chunk == 0 else next(
+        c for c in range(min(params.chunk, H * W), 0, -1) if (H * W) % c == 0)
 
     src_idx, src_valid = masked_select(mask1, k_src, src_cap)
     src_yx = flat_to_yx(src_idx, W)

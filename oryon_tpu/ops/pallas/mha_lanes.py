@@ -120,13 +120,15 @@ def _bwd(heads, scale, interpret, res, g):
     qkv, kmask = res
     C = qkv.shape[-1] // 3
 
-    def ref(qkv_):
+    def ref(qkv_, kmask_):
         return _reference_mha(qkv_[..., :C], qkv_[..., C:2 * C],
-                              qkv_[..., 2 * C:], kmask, heads, scale)
+                              qkv_[..., 2 * C:], kmask_, heads, scale)
 
-    _, vjp = jax.vjp(ref, qkv)
-    (dqkv,) = vjp(g)
-    return dqkv, jnp.zeros_like(kmask)
+    # kmask enters the softmax logits additively, so its cotangent is real
+    # (it matters if a learned additive mask is ever trained through here)
+    _, vjp = jax.vjp(ref, qkv, kmask)
+    dqkv, dkmask = vjp(g)
+    return dqkv, dkmask
 
 
 fused_mha_lanes_qkv.defvjp(_fwd, _bwd)
