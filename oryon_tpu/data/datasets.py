@@ -168,9 +168,14 @@ class ToylReader:
 
     name = "toyl"
 
+    # Linemod/TOYL intrinsics (reference datasets.py:573) — NOT the NOCS K
+    TOYL_K = np.asarray([[572.4114, 0.0, 325.2611],
+                         [0.0, 573.5704, 242.0489],
+                         [0.0, 0.0, 1.0]])
+
     def __init__(self, root: str):
         self.root = root
-        self.K = NOCS_K
+        self.K = self.TOYL_K
         with open(join(root, "models_name.json")) as f:
             self.obj_names = json.load(f)
         self.annots = self._load_part_data()
@@ -272,7 +277,14 @@ class Shapenet6DReader:
         id_new2old = {new: old.split("_")[0] for old, new in data.items()}
         return cat_map, id_new2old
 
-    def get_item(self, img_id: int, cat_id: int, mask_type: str = "oracle") -> Dict:
+    def get_item(self, scene_id: int, img_id: int = None, cat_id: int = None,
+                 mask_type: str = "oracle") -> Dict:
+        """Uniform reader signature (scene, img, obj, mask_type) so
+        PairDataset can drive any reader; ShapeNet6D images form a flat
+        pool, so the scene slot is ignored.  Two-arg direct calls
+        get_item(img_id, cat_id) keep working."""
+        if cat_id is None:
+            scene_id, img_id, cat_id = None, scene_id, img_id
         rgb = _imread(join(self.root, "raw_data", "rgb", f"{img_id:06d}.jpg"), "RGB")
         mask = _imread(join(self.root, "raw_data", "mask", f"{img_id:06d}.png"), "L")
         depth = _imread(join(self.root, "raw_data", "depth", f"{img_id:06d}.png"))

@@ -113,4 +113,11 @@ class PrefetchLoader:
                     return
                 yield b
         finally:
+            # a worker parked in out_q.put() on the full queue never sees
+            # stop; drain so it can advance to the stop check and exit
             stop.set()
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass

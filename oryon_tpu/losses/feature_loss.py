@@ -24,6 +24,8 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from oryon_tpu.geometry.pcd import unit as _unit
+
 from oryon_tpu.eval.metrics import mask_iou
 from oryon_tpu.geometry.coords import scale_coords
 from oryon_tpu.losses.mask_losses import MASK_LOSSES
@@ -60,8 +62,8 @@ def _gather_feats(featmap: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
 
 def _cos_dist(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Inverted normalized cosine distance along the last axis."""
-    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
-    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
+    an = _unit(a, eps)
+    bn = _unit(b, eps)
     return 0.5 * (1.0 - jnp.sum(an * bn, axis=-1))
 
 
@@ -81,8 +83,8 @@ def _hardest_negatives(
     pool_feats = jax.vmap(lambda f, i: f.reshape(H * W, D)[i])(featmap, pool_idx)
     pool_yx = jnp.stack([pool_idx // W, pool_idx % W], axis=-1).astype(jnp.float32)
 
-    pn = pos_feats / jnp.maximum(jnp.linalg.norm(pos_feats, axis=-1, keepdims=True), 1e-8)
-    qn = pool_feats / jnp.maximum(jnp.linalg.norm(pool_feats, axis=-1, keepdims=True), 1e-8)
+    pn = _unit(pos_feats)
+    qn = _unit(pool_feats)
     feat_dist = 0.5 * (1.0 - jnp.einsum("bnd,bkd->bnk", pn, qn))
 
     d2 = jnp.sum((pos_yx[:, :, None, :] - pool_yx[:, None, :, :]) ** 2, axis=-1)
@@ -117,7 +119,9 @@ def feature_loss(
     # GT corrs are in input resolution; map them to featmap resolution and
     # clamp (reference losses.py:77-79)
     fc = scale_coords(corrs.astype(jnp.float32), input_hw, (H, W))
-    fc = jnp.clip(fc, 0, H - 1).astype(jnp.int32)
+    # per-axis clamp: rows are (y1, x1, y2, x2), x must clip against W
+    fc = jnp.clip(fc, 0, jnp.array([H - 1, W - 1, H - 1, W - 1],
+                                   jnp.float32)).astype(jnp.int32)
     ca, cq = fc[..., :2], fc[..., 2:]
 
     pos_a = _gather_feats(featmap_a, ca)

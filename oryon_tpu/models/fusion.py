@@ -22,6 +22,8 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+from oryon_tpu.geometry.pcd import unit as _unit
 import numpy as np
 from flax import linen as nn
 
@@ -263,7 +265,7 @@ class ImageTextFusion(nn.Module):
         img = nn.Dense(c.clip_proj_dim, dtype=jnp.float32, name="clip_conv")(img_feats)
 
         # cosine cost volume over prompts: [B, H, W, P]
-        img_n = img / jnp.maximum(jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-8)
+        img_n = _unit(img)
         txt_n = text_feats / jnp.maximum(
             jnp.linalg.norm(text_feats, axis=-1, keepdims=True), 1e-8)
         corr = jnp.einsum("bhwc,bpc->bhwp", img_n, txt_n,
@@ -282,7 +284,7 @@ class ImageTextFusion(nn.Module):
 
         # text guidance: mean over prompts, renormalize, project
         tg = jnp.mean(text_feats, axis=1)
-        tg = tg / jnp.maximum(jnp.linalg.norm(tg, axis=-1, keepdims=True), 1e-8)
+        tg = _unit(tg)
         tg = nn.Dense(c.text_guidance_proj_dim, dtype=self.dtype,
                       name="text_guidance_projection")(tg.astype(self.dtype))
         tg = jax.nn.relu(tg)

@@ -26,6 +26,8 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from oryon_tpu.geometry.pcd import unit as _unit
 from flax import linen as nn
 
 from oryon_tpu.geometry.kabsch import weighted_kabsch, weighted_kabsch_quat
@@ -121,7 +123,7 @@ class PointDSC(nn.Module):
         compat = compat * vv
 
         feats = NonLocalNet(c, name="encoder")(corr_pos, compat)       # [N, C]
-        fn = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
+        fn = _unit(feats)
 
         # confidence head (PointDSC.py:107-113,171)
         h = jax.nn.relu(nn.Dense(32, name="cls1")(feats))
@@ -178,6 +180,11 @@ def seed_transforms(fn, src, tgt, v, seeds, sigma, cfg: PointDSCConfig):
 
     M = feat_M * spat_M
     M = M * (1.0 - jnp.eye(k))[None]
+    # when fewer than k valid rows exist, top_k is forced to include padded
+    # rows; their identical coordinates would form a perfect-compatibility
+    # clique that hijacks the leading eigenvector — zero them out of M
+    kv = v[knn_idx]                                  # [S, k]
+    M = M * kv[:, :, None] * kv[:, None, :]
 
     # power iteration for the leading eigenvector (PointDSC.py:347-357)
     def body(_, w):
@@ -237,8 +244,13 @@ def get_pointdsc_pose(model: PointDSC, params, src: jnp.ndarray,
 def batched_pointdsc(model: PointDSC, params):
     """vmapped jitted solver over [B, N, 3] correspondence batches."""
 
+    # params ride as a jit ARGUMENT (closed-over trees become HLO literal
+    # constants and inflate remote compiles — CLAUDE.md)
     @jax.jit
-    def solve(src, tgt, valid):
-        return jax.vmap(lambda s, t, v: model.apply(params, s, t, v))(src, tgt, valid)
+    def solve(p, src, tgt, valid):
+        return jax.vmap(lambda s, t, v: model.apply(p, s, t, v))(src, tgt, valid)
 
-    return solve
+    def run(src, tgt, valid):
+        return solve(params, src, tgt, valid)
+
+    return run

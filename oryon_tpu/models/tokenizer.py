@@ -22,16 +22,22 @@ import numpy as np
 
 try:
     import regex as re
+    _WORD_PATTERN = (
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+        r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+    )
 except ImportError:  # pragma: no cover
     import re  # type: ignore
+    # stdlib re cannot compile \p{..}: use the Unicode-category-equivalent
+    # classes ([^\W\d_] = letters, \d = digits under re.UNICODE). Tokens
+    # differ from the regex-module pattern only for exotic numerals.
+    _WORD_PATTERN = (
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+        r"""[^\W\d_]+|\d|[^\s\w]+"""
+    )
 
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408  # 256 bytes + 256 byte</w> + 48894 merges + SOT + EOT
-
-_WORD_PATTERN = (
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-)
 
 
 @lru_cache()

@@ -366,3 +366,76 @@ def test_object_split_filter(nocs_root):
     ds_none = PairDataset(NocsReader(nocs_root), "test_split", tok,
                           max_corrs=8, img_size=(56, 56), obj_split="none_split")
     assert len(ds_none) == 0
+
+
+def test_pair_dataset_drives_shapenet_reader(shapenet_root):
+    """PairDataset must drive Shapenet6DReader end to end (the default
+    TRAIN dataset — a reader-signature mismatch here crashes run_train)."""
+    from oryon_tpu.data.datasets import Shapenet6DReader
+    sp = join(shapenet_root, "fixed_split", "train_split")
+    os.makedirs(sp, exist_ok=True)
+    rs = np.random.RandomState(0)
+    corrs = np.stack([rs.randint(10, 30, 30), rs.randint(20, 40, 30),
+                      rs.randint(10, 30, 30), rs.randint(20, 40, 30)], 1)
+    rel = np.eye(4)
+    with open(join(sp, "instance_list.txt"), "w") as f:
+        f.write("train, 0 0, 0 1, 7 chair\n")
+    with open(join(sp, "annots.pkl"), "wb") as f:
+        pickle.dump({"0_0_0_1_7_chair": {"gt": rel, "corrs": corrs}}, f)
+    with open(join(shapenet_root, "templates.json"), "w") as f:
+        json.dump(["a photo of a {}", "one {} in the scene"], f)
+
+    tok = ClipTokenizer()
+    ds = PairDataset(Shapenet6DReader(shapenet_root), "train_split", tok,
+                     max_corrs=16, img_size=(48, 48), n_prompts=3,
+                     augment=True, synset_aug=True, seed=0)
+    assert len(ds) == 1
+    b = next(ds.batches(1))
+    assert b.anchor.rgb.shape == (1, 48, 48, 3)
+    assert float(b.valid.sum()) == 1.0
+    assert b.prompt_ids.shape[0] == 1
+
+
+@pytest.fixture(scope="module")
+def toyl_root(tmp_path_factory):
+    """Miniature Toyota-Light BOP-format tree."""
+    rs = np.random.RandomState(3)
+    root = str(tmp_path_factory.mktemp("toyl"))
+    from PIL import Image
+
+    H, W = 48, 64
+    scene, img = 1, 0
+    base = join(root, "split", "test", f"{scene:06d}")
+    for sub in ("rgb", "depth", "mask_visib"):
+        os.makedirs(join(base, sub), exist_ok=True)
+    Image.fromarray((rs.rand(H, W, 3) * 255).astype(np.uint8)).save(
+        join(base, "rgb", f"{img:06d}.png"))
+    Image.fromarray((rs.rand(H, W) * 900 + 400).astype(np.uint16)).save(
+        join(base, "depth", f"{img:06d}.png"))
+    mask = np.zeros((H, W), np.uint8)
+    mask[10:30, 20:40] = 1
+    Image.fromarray(mask).save(join(base, "mask_visib", f"{img:06d}.png"))
+    pose = np.eye(4)[:3]
+    with open(join(base, "scene_gt.json"), "w") as f:
+        json.dump({str(img): [{"obj_id": 5,
+                               "cam_R_m2c": pose[:, :3].reshape(-1).tolist(),
+                               "cam_t_m2c": [0, 0, 800.0]}]}, f)
+    with open(join(base, "scene_gt_info.json"), "w") as f:
+        json.dump({str(img): [{"bbox_visib": [20, 10, 20, 20]}]}, f)
+    with open(join(root, "models_name.json"), "w") as f:
+        json.dump({"5": ["duck", "toy duck"]}, f)
+    return root
+
+
+def test_toyl_reader_item_and_intrinsics(toyl_root):
+    """TOYL uses the Linemod intrinsics (reference datasets.py:573) — NOT
+    the REAL275/NOCS camera; get_item round-trips the BOP layout."""
+    from oryon_tpu.data.datasets import ToylReader
+    r = ToylReader(toyl_root)
+    np.testing.assert_allclose(r.K[0, 0], 572.4114)
+    np.testing.assert_allclose(r.K[1, 2], 242.0489)
+    item = r.get_item(1, 0, 5)
+    assert item["rgb"].shape == (48, 64, 3)
+    assert item["mask"].sum() == 400
+    assert item["pose"][2, 3] == pytest.approx(0.8)  # mm -> m
+    assert item["cls_name"] == "duck"

@@ -94,3 +94,21 @@ def test_pick_seeds_nms():
     scores = jnp.array([1.0, 0.9, 0.8, 0.7])
     seeds = np.asarray(pick_seeds(jnp.array(dists), scores, 0.1, 2))
     assert set(seeds.tolist()) == {0, 2}
+
+
+def test_pointdsc_few_valid_rows_below_k(rng):
+    """When valid correspondences < kNN size k, padded rows enter the
+    per-seed subsets; their identical coordinates must NOT form a
+    compatibility clique that hijacks the spectral weights."""
+    T = random_pose(rng, t_scale=0.2)
+    n_valid = 12
+    src = np.zeros((128, 3), np.float32)
+    tgt = np.zeros((128, 3), np.float32)
+    src[:n_valid] = rng.randn(n_valid, 3).astype(np.float32) * 0.3
+    tgt[:n_valid] = src[:n_valid] @ T[:3, :3].T + T[:3, 3]
+    valid = np.zeros(128, np.float32)
+    valid[:n_valid] = 1
+    model, params = init_model(src, tgt)
+    T_est, _, _ = model.apply(params, jnp.array(src), jnp.array(tgt),
+                              jnp.array(valid))
+    np.testing.assert_allclose(np.asarray(T_est), T, atol=5e-3)
