@@ -42,9 +42,14 @@ def _checkpointer() -> ocp.Checkpointer:
 
 def save_checkpoint(cfg: Config, epoch: int, state: Any) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir(cfg), f"epoch={epoch:04d}"))
-    _checkpointer().save(path, {"params": state.params,
-                                "opt_state": state.opt_state,
-                                "step": state.step}, force=True)
+    ckptr = _checkpointer()
+    ckptr.save(path, {"params": state.params,
+                      "opt_state": state.opt_state,
+                      "step": state.step}, force=True)
+    # StandardCheckpointer saves ASYNCHRONOUSLY: until finalized the dir is
+    # 'epoch=NNNN.orbax-checkpoint-tmp-*', which list_checkpoints rightly
+    # ignores — block here so a checkpoint exists once we return
+    ckptr.wait_until_finished()
     return path
 
 
@@ -54,7 +59,9 @@ def list_checkpoints(cfg: Config):
         return []
     out = []
     for name in os.listdir(d):
-        m = re.match(r"epoch=(\d+)", name)
+        # fullmatch: a crash mid-save leaves 'epoch=NNNN.orbax-checkpoint-
+        # tmp-*' dirs that a prefix match would restore as partial ckpts
+        m = re.fullmatch(r"epoch=(\d+)", name)
         if m:
             out.append((int(m.group(1)), os.path.join(d, name)))
     return sorted(out)

@@ -309,6 +309,22 @@ class Shapenet6DReader:
         }
 
 
+READER_REGISTRY = {"nocs": NocsReader, "toyl": ToylReader,
+                   "shapenet6d": Shapenet6DReader}
+
+
+def pick_reader(name: str, readers: Dict = None):
+    """Reader class for a dataset-dir name; prefix match tolerates suffixed
+    dirs (e.g. 'nocs_v1'). Shared by every CLI/script."""
+    readers = readers if readers is not None else READER_REGISTRY
+    if name in readers:
+        return readers[name]
+    for k, r in readers.items():
+        if name.startswith(k):
+            return r
+    raise KeyError(f"no reader for dataset {name}")
+
+
 class PairDataset:
     """Fixed-split pair dataset over any reader + tokenizer -> PairBatch."""
 
@@ -469,7 +485,10 @@ class PairDataset:
         return PairBatch(
             anchor=view("item_a", "orig_a"),
             query=view("item_q", "orig_q"),
-            prompt_ids=jnp.array(prompt_ids),
+            # host-side: the text-embedding caches hash the token bytes every
+            # step/batch — a device array would cost a ~25 ms fetch per call;
+            # jit uploads it on demand when the text tower actually runs
+            prompt_ids=np.ascontiguousarray(prompt_ids),
             corrs=jnp.array(np.stack([p["corrs"] for p in pairs])),
             corr_valid=jnp.array(np.stack([p["corr_valid"] for p in pairs])),
             # host-side: the eval loop reads it every batch (a device array

@@ -158,7 +158,9 @@ def build_pipeline(
             ih, iw = batch.anchor.rgb.shape[1:3]
             gt_fc = scale_coords(batch.corrs.astype(jnp.float32), (ih, iw),
                                  (FH, FW))
-            gt_fc = jnp.clip(gt_fc, 0, FH - 1).astype(jnp.int32)
+            gt_fc = jnp.clip(gt_fc, 0, jnp.array(
+                [FH - 1, FW - 1, FH - 1, FW - 1],
+                jnp.float32)).astype(jnp.int32)
             N = gt_fc.shape[1]
             pad = cfg.match.max_corrs - N
             if pad > 0:
@@ -199,7 +201,10 @@ def build_pipeline(
         has_corrs = n_corrs >= 4
         eye = jnp.broadcast_to(jnp.eye(4), T_rel.shape)
         T_rel = jnp.where(has_corrs[:, None, None], T_rel, eye)
-        pred_q = jnp.einsum("bij,bjk->bik", T_rel, batch.anchor.pose)
+        # pose-critical compose: pin fp32 (bf16 default costs ~0.4% on
+        # rotation entries, feeding every absolute-pose metric)
+        pred_q = jnp.einsum("bij,bjk->bik", T_rel, batch.anchor.pose,
+                            precision=jax.lax.Precision.HIGHEST)
 
         packed = jnp.concatenate([
             T_rel.reshape(B, 16), pred_q.reshape(B, 16),
@@ -341,9 +346,12 @@ def make_train_text_cache(model, params):
             embs = encode(sub, jnp.asarray(arr))
             for j, k in enumerate(mk):
                 cache[k] = embs[j]
-            while len(cache) > max_entries:
-                cache.pop(next(iter(cache)))
-        return jnp.stack([cache[k] for k in keys])
+        # gather BEFORE evicting: FIFO eviction may pop keys this batch
+        # still references (the held jnp rows stay alive regardless)
+        rows = jnp.stack([cache[k] for k in keys])
+        while len(cache) > max_entries:
+            cache.pop(next(iter(cache)))
+        return rows
 
     return get
 

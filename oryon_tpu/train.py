@@ -64,14 +64,29 @@ def make_optimizer(
     weight_decay: float = 5e-4,
     total_steps: int = 10000,
     gamma: float = 0.1,
+    optim_type: str = "Adam",
+    scheduler_type: str = "cosine",
+    momentum: float = 0.0,
 ) -> optax.GradientTransformation:
+    """Optimizer partition honoring the reference's optimization block
+    (configs/config.yaml:64-70): optim_type Adam(W)/SGD, cosine or constant
+    schedule, momentum for SGD."""
+    if scheduler_type == "cosine":
+        sched = cosine_lr(lr, total_steps, gamma)
+    else:
+        sched = lr
+    if optim_type.lower() in ("adam", "adamw"):
+        opt = optax.adamw(sched, weight_decay=weight_decay)
+    elif optim_type.lower() == "sgd":
+        opt = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(sched, momentum=momentum or None),
+        )
+    else:
+        raise ValueError(f"optim_type {optim_type}")
     labels = jax.tree_util.tree_map_with_path(trainable_label, params)
     tx = optax.multi_transform(
-        {
-            "train": optax.adamw(cosine_lr(lr, total_steps, gamma),
-                                 weight_decay=weight_decay),
-            "frozen": optax.set_to_zero(),
-        },
+        {"train": opt, "frozen": optax.set_to_zero()},
         labels,
     )
     return tx
@@ -86,10 +101,14 @@ def create_train_state(
     total_steps: int = 10000,
     gamma: float = 0.1,
     loss_cfg: FeatureLossConfig = FeatureLossConfig(),
+    optim_type: str = "Adam",
+    scheduler_type: str = "cosine",
+    momentum: float = 0.0,
 ) -> TrainState:
     params = model.init(key, sample_batch.anchor.rgb, sample_batch.query.rgb,
                         sample_batch.prompt_ids)
-    tx = make_optimizer(params, lr, weight_decay, total_steps, gamma)
+    tx = make_optimizer(params, lr, weight_decay, total_steps, gamma,
+                        optim_type, scheduler_type, momentum)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

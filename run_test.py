@@ -18,16 +18,6 @@ from datetime import datetime
 import numpy as np
 
 
-def _pick_reader(readers, name):
-    """Reader by dataset name; prefix match tolerates suffixed dirs."""
-    if name in readers:
-        return readers[name]
-    for k, r in readers.items():
-        if name.startswith(k):
-            return r
-    raise KeyError(f"no reader for dataset {name}")
-
-
 def main(argv):
     overrides = [a for a in argv if "=" in a and not a.startswith("--")]
     cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
@@ -40,7 +30,7 @@ def main(argv):
     enable_compilation_cache()
 
     from oryon_tpu.checkpoint import init_experiment, restore_checkpoint, results_dir
-    from oryon_tpu.data.datasets import NocsReader, PairDataset, ToylReader
+    from oryon_tpu.data.datasets import PairDataset, pick_reader
     from oryon_tpu.eval.evaluator import BatchedEvaluator as Evaluator
     from oryon_tpu.models.oryon import build_model
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
@@ -52,10 +42,9 @@ def main(argv):
     from oryon_tpu.models import convert
 
     init_experiment(cfg)
-    readers = {"nocs": NocsReader, "toyl": ToylReader}
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
-    ds = PairDataset(_pick_reader(readers, cfg.dataset.test.name)(root), cfg.dataset.test.split,
+    ds = PairDataset(pick_reader(cfg.dataset.test.name)(root), cfg.dataset.test.split,
                      tokenizer, max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size, augment=False,
                      debug_valid=cfg.debug_valid, mask_type="oracle"
@@ -74,8 +63,13 @@ def main(argv):
         state = state.replace(params=new_params)
         for line in report:
             print(line)
-    if cfg.eval.ckpt:
-        state, epoch = restore_checkpoint(cfg, state, cfg.eval.ckpt)
+    if cfg.eval.ckpt is not None and cfg.eval.ckpt != "":
+        # `is not None`: eval.ckpt=0 (epoch zero) is falsy but valid
+        state, epoch = restore_checkpoint(cfg, state, str(cfg.eval.ckpt))
+        if epoch < 0:
+            raise FileNotFoundError(
+                f"eval.ckpt={cfg.eval.ckpt!r} requested but no checkpoint "
+                f"found under the experiment's models dir")
         print(f"loaded checkpoint epoch {epoch}")
 
     pointdsc = None

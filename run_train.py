@@ -14,16 +14,6 @@ from __future__ import annotations
 import sys
 
 
-def _pick_reader(readers, name):
-    """Reader by dataset name; prefix match tolerates suffixed dirs."""
-    if name in readers:
-        return readers[name]
-    for k, r in readers.items():
-        if name.startswith(k):
-            return r
-    raise KeyError(f"no reader for dataset {name}")
-
-
 def main(argv):
     overrides = [a for a in argv if "=" in a]
     cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
@@ -38,9 +28,7 @@ def main(argv):
     from oryon_tpu.checkpoint import (
         init_experiment, logs_dir, restore_checkpoint, save_checkpoint,
     )
-    from oryon_tpu.data.datasets import (
-        NocsReader, PairDataset, Shapenet6DReader, ToylReader,
-    )
+    from oryon_tpu.data.datasets import PairDataset, pick_reader
     from oryon_tpu.losses.feature_loss import FeatureLossConfig
     from oryon_tpu.models.oryon import build_model
     from oryon_tpu.models.tokenizer import ClipTokenizer
@@ -51,13 +39,11 @@ def main(argv):
     init_experiment(cfg)
     logger = MetricLogger(logs_dir(cfg), cfg.exp_name)
 
-    readers = {"nocs": NocsReader, "toyl": ToylReader,
-               "shapenet6d": Shapenet6DReader}
     import os
     root = os.path.join(cfg.dataset.root, cfg.dataset.train.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
     train_ds = PairDataset(
-        _pick_reader(readers, cfg.dataset.train.name)(root), cfg.dataset.train.split,
+        pick_reader(cfg.dataset.train.name)(root), cfg.dataset.train.split,
         tokenizer, max_corrs=cfg.dataset.max_corrs,
         img_size=cfg.dataset.img_size, augment=True,
         synset_aug=cfg.augs.text.synset, mask_type="oracle",
@@ -72,6 +58,7 @@ def main(argv):
     loss_cfg = FeatureLossConfig(
         pos_margin=cfg.loss.pos_margin, neg_margin=cfg.loss.neg_margin,
         neg_kernel=cfg.loss.neg_kernel_size,
+        neg_pool=cfg.loss.neg_pool,
         hard_negatives=cfg.loss.hard_negatives, mask_type=cfg.loss.mask_type,
         mask_threshold=cfg.test.mask_threshold,
         w_mask=cfg.loss.w.mask, w_pos=cfg.loss.w.pos, w_neg=cfg.loss.w.neg,
@@ -84,7 +71,10 @@ def main(argv):
                                weight_decay=cfg.optimization.w_decay,
                                total_steps=total_steps,
                                gamma=cfg.optimization.gamma,
-                               loss_cfg=loss_cfg)
+                               loss_cfg=loss_cfg,
+                               optim_type=cfg.optimization.optim_type,
+                               scheduler_type=cfg.optimization.scheduler_type,
+                               momentum=cfg.optimization.momentum)
     if cfg.model.size == "full":
         from oryon_tpu.models.pretrained import load_pretrained_params
         new_params, report = load_pretrained_params(cfg, state.params)
@@ -111,7 +101,7 @@ def main(argv):
     valid_root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
     if os.path.isdir(valid_root):
         try:
-            reader = _pick_reader(readers, cfg.dataset.test.name)
+            reader = pick_reader(cfg.dataset.test.name)
         except KeyError:
             reader = None
         if reader is not None:

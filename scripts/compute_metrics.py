@@ -36,29 +36,18 @@ def parse_csv(path):
     return rows
 
 
-def _pick_reader(readers, name):
-    """Reader by dataset name; prefix match tolerates suffixed dirs."""
-    if name in readers:
-        return readers[name]
-    for k, r in readers.items():
-        if name.startswith(k):
-            return r
-    raise KeyError(f"no reader for dataset {name}")
-
-
 def main(argv):
     csv_path = argv[0]
     overrides = [a for a in argv[1:] if "=" in a]
     from oryon_tpu.config import load_config
     cfg = load_config(None, overrides)
 
-    from oryon_tpu.data.datasets import NocsReader, PairDataset, ToylReader
+    from oryon_tpu.data.datasets import PairDataset, pick_reader
     from oryon_tpu.eval.evaluator import Evaluator
     from oryon_tpu.models.tokenizer import ClipTokenizer
 
-    readers = {"nocs": NocsReader, "toyl": ToylReader}
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
-    ds = PairDataset(_pick_reader(readers, cfg.dataset.test.name)(root),
+    ds = PairDataset(pick_reader(cfg.dataset.test.name)(root),
                      cfg.dataset.test.split, ClipTokenizer(),
                      max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size)
@@ -93,7 +82,7 @@ def main(argv):
         ev.register_test(
             iou_a, iou_q, gt_pose=np.asarray(item_q["pose"], np.float32),
             pred_pose=pred_q, pred_pose_rel=pred_rel,
-            camera=np.asarray(item_a["camera"], np.float32),
+            camera=np.asarray(item_q["camera"], np.float32),  # query view K (matches pipeline._register_batch)
             depth=np.asarray(item_q["depth"], np.float32)
             if cfg.compute_vsd else None,
             cls_id=obj_key, instance_id=f"{sa}_{ia}_{sq}_{iq}_{obj}")

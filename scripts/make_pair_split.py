@@ -82,16 +82,10 @@ def main(argv):
     from oryon_tpu.config import load_config
     cfg = load_config(None, [f"{k}={v}" for k, v in kv.items()])
 
-    from oryon_tpu.data.datasets import NocsReader, ToylReader
-    readers = {"nocs": NocsReader, "toyl": ToylReader}
+    from oryon_tpu.data.datasets import pick_reader
     name = cfg.dataset.test.name
     root = join(cfg.dataset.root, name)
-    # prefix match tolerates suffixed dataset dirs (same as run_test CLI)
-    reader_cls = readers.get(name) or next(
-        (r for k, r in readers.items() if name.startswith(k)), None)
-    if reader_cls is None:
-        raise KeyError(f"no reader for dataset {name}")
-    reader = reader_cls(root)
+    reader = pick_reader(name)(root)
 
     # enumerate instances: (scene, img, obj) from the reader's annotations
     rs = np.random.RandomState(seed)

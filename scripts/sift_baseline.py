@@ -46,16 +46,6 @@ def sift_match(rgb_a, mask_a, rgb_q, mask_q, ratio=0.8, max_corrs=500):
     return np.asarray(rows[:max_corrs]).round().astype(np.int32)
 
 
-def _pick_reader(readers, name):
-    """Reader by dataset name; prefix match tolerates suffixed dirs."""
-    if name in readers:
-        return readers[name]
-    for k, r in readers.items():
-        if name.startswith(k):
-            return r
-    raise KeyError(f"no reader for dataset {name}")
-
-
 def main(argv):
     overrides = [a for a in argv if "=" in a]
     from oryon_tpu.config import load_config
@@ -63,15 +53,14 @@ def main(argv):
 
     import jax
     import jax.numpy as jnp
-    from oryon_tpu.data.datasets import NocsReader, PairDataset, ToylReader
+    from oryon_tpu.data.datasets import PairDataset, pick_reader
     from oryon_tpu.eval.evaluator import Evaluator
     from oryon_tpu.geometry.kabsch import ransac_kabsch
     from oryon_tpu.geometry.pcd import lift_pcd_at
     from oryon_tpu.models.tokenizer import ClipTokenizer
 
-    readers = {"nocs": NocsReader, "toyl": ToylReader}
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
-    reader = _pick_reader(readers, cfg.dataset.test.name)(root)
+    reader = pick_reader(cfg.dataset.test.name)(root)
     ds = PairDataset(reader, cfg.dataset.test.split, ClipTokenizer(),
                      max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size)
@@ -93,9 +82,10 @@ def main(argv):
             continue
         da = jnp.asarray(item_a["depth"], jnp.float32)
         dq = jnp.asarray(item_q["depth"], jnp.float32)
-        cam = jnp.asarray(np.asarray(item_a["camera"]).reshape(9), jnp.float32)
-        pa = lift_pcd_at(da, cam, jnp.asarray(corrs[:, :2])) / 1000.0
-        pq = lift_pcd_at(dq, cam, jnp.asarray(corrs[:, 2:])) / 1000.0
+        cam_a = jnp.asarray(np.asarray(item_a["camera"]).reshape(9), jnp.float32)
+        cam_q = jnp.asarray(np.asarray(item_q["camera"]).reshape(9), jnp.float32)
+        pa = lift_pcd_at(da, cam_a, jnp.asarray(corrs[:, :2])) / 1000.0
+        pq = lift_pcd_at(dq, cam_q, jnp.asarray(corrs[:, 2:])) / 1000.0
         w = ((pa[:, 2] > 0) & (pq[:, 2] > 0)).astype(jnp.float32)
         key, sub = jax.random.split(key)
         T, n_inl = ransac_kabsch(sub, pa, pq, w, match_err=0.01)
@@ -103,7 +93,7 @@ def main(argv):
         pred_q = pred_rel @ np.asarray(item_a["pose"], np.float32)
         ev.register_test(1.0, 1.0, gt_pose=np.asarray(item_q["pose"], np.float32),
                          pred_pose=pred_q, pred_pose_rel=pred_rel,
-                         camera=np.asarray(item_a["camera"], np.float32),
+                         camera=np.asarray(item_q["camera"], np.float32),
                          depth=np.asarray(item_q["depth"], np.float32)
                          if cfg.compute_vsd else None,
                          cls_id=obj_key, instance_id=iid)
