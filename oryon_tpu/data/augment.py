@@ -103,6 +103,13 @@ def resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
 
 
 def resize_nearest(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    if img.dtype == np.uint8 and img.ndim == 2:
+        # mask hot path: C kernel (native/oryon_native.cpp), same index
+        # convention (pinned by test_resize_nearest_matches_python).
+        # available() gate prevents fallback recursion.
+        from oryon_tpu.utils import native
+        if native.available():
+            return native.resize_nearest_u8(img, out_hw)
     H, W = img.shape[:2]
     OH, OW = out_hw
     ys = np.floor(np.arange(OH) * H / OH).astype(int)

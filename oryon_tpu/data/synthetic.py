@@ -92,7 +92,11 @@ def synthetic_pair(
             uu = np.clip(u + du, 0, OW - 1)
             np.minimum.at(depth_q, (vv, uu), zq_mm)
             mask_q_orig[vv, uu] = 1
-    rgb_q[v, u] = rgb_a[ys, xs]
+    # z-ordered texture writes: sort far-to-near so the VISIBLE (nearest)
+    # surface's texture wins where the fold self-occludes — unordered writes
+    # could pair a near-depth correspondence with a far point's texture
+    order = np.argsort(-zq_mm)
+    rgb_q[v[order], u[order]] = rgb_a[ys[order], xs[order]]
     depth_q = np.where(np.isinf(depth_q), 0.0, depth_q)
 
     # correspondences only for CO-VISIBLE points (the reference builds GT
@@ -112,9 +116,11 @@ def synthetic_pair(
     corr_valid[: len(sel)] = True
 
     def down(img, hw):
-        # cheap stride resize for synthetic data (exactness irrelevant here)
-        sy = np.linspace(0, img.shape[0] - 1, hw[0]).astype(int)
-        sx = np.linspace(0, img.shape[1] - 1, hw[1]).astype(int)
+        # floor-grid stride resize with the SAME index convention as the
+        # corr rescale (y_out = y*h/OH): a linspace grid disagrees by up to
+        # ~1 px at frame edges, silently skewing GT correspondences
+        sy = np.arange(hw[0]) * img.shape[0] // hw[0]
+        sx = np.arange(hw[1]) * img.shape[1] // hw[1]
         return img[sy][:, sx]
 
     pose_a = np.eye(4, dtype=np.float32)
@@ -163,7 +169,7 @@ def synthetic_pair_batch(
             orig_depth=orig_depth,
             eval_depth=orig_depth,
             camera=jnp.tile(jnp.array(DEFAULT_K)[None], (batch, 1)),
-            pose=stack(f"pose_{side}") if side == "q" else stack("pose_a"),
+            pose=stack(f"pose_{side}"),
             size=jnp.tile(jnp.array(orig_hw, jnp.int32)[None], (batch, 1)),
         )
 

@@ -19,7 +19,7 @@ from flax import linen as nn
 class DecoderConfig:
     input_dim: int = 128
     decoder_dims: Tuple[int, int] = (64, 32)
-    guidance_input_dims: Tuple[int, int] = (256, 128)
+    # (guidance INPUT dims are inferred by nn.Conv from the actual taps)
     guidance_output_dims: Tuple[int, int] = (32, 16)
     extra_upsampling: bool = True
     use_guidance: bool = True

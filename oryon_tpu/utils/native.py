@@ -25,8 +25,17 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     try:
         if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR),
+            # build into a process-unique dir then atomically rename:
+            # concurrent first-use workers racing `make` on the same output
+            # path could dlopen a half-written .so
+            tmp_out = _LIB_PATH + f".build-{os.getpid()}"
+            subprocess.run(["make", "-s", f"OUT={tmp_out}"],
+                           cwd=os.path.abspath(_NATIVE_DIR),
                            check=True, capture_output=True, timeout=120)
+            if not os.path.exists(_LIB_PATH):
+                os.replace(tmp_out, _LIB_PATH)
+            elif os.path.exists(tmp_out):
+                os.remove(tmp_out)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.rle_encode.restype = ctypes.c_int
         lib.rle_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -110,7 +119,9 @@ def resize_nearest_u8(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     lib = _load()
     h, w = img.shape[:2]
     oh, ow = out_hw
-    if lib is not None:
+    # the C kernel is single-channel: interleaved multi-channel input would
+    # be indexed as if planar (garbage output) — route 3D through numpy
+    if lib is not None and img.ndim == 2:
         src = np.ascontiguousarray(img.astype(np.uint8))
         dst = np.empty((oh, ow), np.uint8)
         lib.resize_nearest_u8(src.ctypes.data, h, w, dst.ctypes.data, oh, ow)

@@ -9,11 +9,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
 if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
-    # On a 1-core host, XLA:CPU's in-process collectives (all-to-all /
-    # collective-permute emitted by GSPMD for the dp/tp mesh tests) can take
-    # >40 s for all 8 virtual-device threads to reach the rendezvous when the
-    # executor pool is warm from earlier tests; the default 40 s termination
-    # timeout then aborts the interpreter. Raise it — starvation, not deadlock.
+    # On a 1-core host, XLA:CPU's in-process collectives can take >40 s to
+    # reach a rendezvous; the default 40 s termination timeout then aborts
+    # the interpreter. Raising it helps SLOW rendezvous (pure-psum DP tests)
+    # but is NOT sufficient for the dp/tp all-to-all program in a warm pytest
+    # process — that one truly deadlocks and must stay in a fresh subprocess
+    # (tests/_dp_tp_body.py; see CLAUDE.md).
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
 os.environ["XLA_FLAGS"] = flags

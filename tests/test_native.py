@@ -6,6 +6,10 @@ from oryon_tpu.utils import native
 
 
 def test_native_builds():
+    import shutil
+    if shutil.which("g++") is None and shutil.which("make") is None:
+        import pytest
+        pytest.skip("no toolchain — numpy fallbacks cover this host")
     assert native.available(), "native library failed to build"
 
 
