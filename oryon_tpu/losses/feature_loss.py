@@ -78,8 +78,12 @@ def _hardest_negatives(
     neg_kernel pixel radius. Returns [B, N, D]."""
     B, H, W, D = featmap.shape
     N = pos_feats.shape[1]
-    K = cfg.neg_pool
-    pool_idx = jax.random.randint(key, (B, K), 0, H * W)
+    if H * W <= cfg.neg_pool:
+        # full deterministic pool — the reference only subsamples when the
+        # featmap exceeds the pool budget (losses.py:195-198)
+        pool_idx = jnp.broadcast_to(jnp.arange(H * W), (B, H * W))
+    else:
+        pool_idx = jax.random.randint(key, (B, cfg.neg_pool), 0, H * W)
     pool_feats = jax.vmap(lambda f, i: f.reshape(H * W, D)[i])(featmap, pool_idx)
     pool_yx = jnp.stack([pool_idx // W, pool_idx % W], axis=-1).astype(jnp.float32)
 
