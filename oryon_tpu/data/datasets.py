@@ -104,7 +104,7 @@ class NocsReader:
             poses[f"{int(scene_id)}_{int(img_id)}"] = data
         return poses
 
-    def get_item(self, scene_id: int, img_id: int, obj_name: str,
+    def get_item(self, scene_id: int, img_id: int, obj_name: str, *,
                  mask_type: str = "oracle") -> Dict:
         base = join(self.root, "split/real_test", f"scene_{scene_id}/{img_id:04d}")
         rgb = _imread(base + "_color.png", "RGB")
@@ -203,7 +203,7 @@ class ToylReader:
                     }
         return out
 
-    def get_item(self, scene_id: int, img_id: int, cls_id: int,
+    def get_item(self, scene_id: int, img_id: int, cls_id: int, *,
                  mask_type: str = "oracle") -> Dict:
         base = join(self.root, "split", "test", f"{scene_id:06d}")
         rgb = _imread(join(base, "rgb", f"{img_id:06d}.png"), "RGB")
@@ -278,7 +278,7 @@ class Shapenet6DReader:
         return cat_map, id_new2old
 
     def get_item(self, scene_id: int, img_id: int = None, cat_id: int = None,
-                 mask_type: str = "oracle") -> Dict:
+                 *, mask_type: str = "oracle") -> Dict:
         """Uniform reader signature (scene, img, obj, mask_type) so
         PairDataset can drive any reader; ShapeNet6D images form a flat
         pool, so the scene slot is ignored.  Two-arg direct calls
@@ -421,8 +421,8 @@ class PairDataset:
     def get_pair(self, index: int) -> Dict:
         scene_a, img_a, scene_q, img_q, cat_id, obj_name = self.instances[index]
         obj_key = obj_name if self.reader.name == "nocs" else int(cat_id)
-        item_a = self.reader.get_item(scene_a, img_a, obj_key, self.mask_type)
-        item_q = self.reader.get_item(scene_q, img_q, obj_key, self.mask_type)
+        item_a = self.reader.get_item(scene_a, img_a, obj_key, mask_type=self.mask_type)
+        item_q = self.reader.get_item(scene_q, img_q, obj_key, mask_type=self.mask_type)
         corrs = self.corrs[index].astype(np.float64)
 
         orig_a = {"depth": item_a["depth"].copy(), "size": item_a["mask"].shape}

@@ -114,10 +114,14 @@ class PrefetchLoader:
                 yield b
         finally:
             # a worker parked in out_q.put() on the full queue never sees
-            # stop; drain so it can advance to the stop check and exit
+            # stop; keep draining until the thread has actually exited —
+            # a single drain can free one slot only for the worker's final
+            # ``put(None)`` to refill it and park forever (leaked thread)
             stop.set()
-            try:
-                while True:
-                    out_q.get_nowait()
-            except queue.Empty:
-                pass
+            while t.is_alive():
+                try:
+                    while True:
+                        out_q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.05)

@@ -24,7 +24,7 @@ from oryon_tpu.eval.bop import (
 from oryon_tpu.eval.metrics import (
     compute_add, compute_adds, rotation_translation_errors,
 )
-from oryon_tpu.eval.renderer import Mesh, render_depth
+from oryon_tpu.eval.renderer import Mesh, max_screen_footprint, render_depth
 from oryon_tpu.geometry.pcd import diameter
 
 
@@ -387,14 +387,22 @@ class BatchedEvaluator(Evaluator):
                                          hw, tile=8)
                     d_gt = render_depth(mesh, g[:3, :3], g[:3, 3] * 1000, k,
                                         hw, tile=8)
+                    # rasterizer-correctness guard: the largest triangle
+                    # screen footprint under the GT pose (pred can be a
+                    # zeroed failure pose -> huge bogus footprint) must stay
+                    # under the tile or the render silently drops pixels;
+                    # checked host-side at flush()
+                    fp = max_screen_footprint(mesh, g[:3, :3],
+                                              g[:3, 3] * 1000, k)
                     return vsd_recall(vsd_errors(d_est, d_gt, d, k, delta,
-                                                 taus, diam))
+                                                 taus, diam)), fp
 
-                vsd_r = jax.vmap(one_vsd)(pred, gt, K, depth)
+                vsd_r, fp = jax.vmap(one_vsd)(pred, gt, K, depth)
             else:
                 vsd_r = jnp.zeros_like(mssd_r)
+                fp = jnp.zeros_like(mssd_r)
             # ONE stacked array -> one device->host fetch per class group
-            return jnp.stack([errR, errT, add_ok, mssd_r, mspd_r, vsd_r],
+            return jnp.stack([errR, errT, add_ok, mssd_r, mspd_r, vsd_r, fp],
                              axis=1)
 
         self._runner = run
@@ -454,9 +462,18 @@ class BatchedEvaluator(Evaluator):
         arrays — one per class group — and appends the host-side rows)."""
         for item in self._pending:
             B = item["B"]
-            res = np.zeros((B, 6), np.float64)
+            res = np.zeros((B, 7), np.float64)
             for sel, out in item["pending"]:
                 res[sel] = np.asarray(out)[: len(sel)]
+            if self.compute_vsd:
+                fp_max = float(res[:, 6].max())
+                if fp_max > 8.0:  # the render_depth tile used above
+                    bad = item["cls_ids"][int(res[:, 6].argmax())]
+                    raise RuntimeError(
+                        f"VSD rasterizer would drop pixels: mesh for class "
+                        f"{bad!r} has a triangle with screen footprint "
+                        f"{fp_max:.1f}px > tile 8 under a GT pose — "
+                        f"re-register object_info with a smaller max_edge")
             self.register_train(item["iou_a"], item["iou_q"])
             for i in range(B):
                 self.counts["Missing segm"].append(0)

@@ -62,6 +62,11 @@ class MultiHeadAttention(nn.Module):
         drops 55.5 -> 46.3 ms.  Default for the vision tower; requires the
         caller to pre-pad L to a lane multiple (seg argument).
       * "auto": einsum (safe everywhere, incl. masked/causal attention).
+
+    ``seg`` MUST be batch-uniform padding segment ids ([B, L] with identical
+    rows, or [L]): the fused kernel derives ONE key mask from row 0 —
+    correct for ClipVisionTower's own length-padding (same L for the whole
+    batch), wrong for per-sample segments.  Enforced below.
     """
 
     width: int
@@ -82,7 +87,10 @@ class MultiHeadAttention(nn.Module):
             assert mask is None, "fused path is unmasked attention only"
             from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes_qkv
             if seg is not None:
-                kmask = jnp.where(seg[0] > 0, 0.0, -1e9).astype(jnp.float32)
+                # batch-uniform padding only (see class docstring): the
+                # kernel takes ONE [L] key mask for the whole batch
+                seg_row = seg if seg.ndim == 1 else seg[0]
+                kmask = jnp.where(seg_row > 0, 0.0, -1e9).astype(jnp.float32)
             else:
                 kmask = jnp.zeros((L,), jnp.float32)
             out = fused_mha_lanes_qkv(in_proj, kmask, self.heads, hd ** -0.5)

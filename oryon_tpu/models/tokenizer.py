@@ -29,11 +29,13 @@ try:
 except ImportError:  # pragma: no cover
     import re  # type: ignore
     # stdlib re cannot compile \p{..}: use the Unicode-category-equivalent
-    # classes ([^\W\d_] = letters, \d = digits under re.UNICODE). Tokens
+    # classes ([^\W\d_] = letters, \d = digits under re.UNICODE). '_' is in
+    # \w but NOT a letter/digit, so the punctuation class must name it
+    # explicitly ([^\s\w]|_) to match the regex-module pattern. Tokens then
     # differ from the regex-module pattern only for exotic numerals.
     _WORD_PATTERN = (
         r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-        r"""[^\W\d_]+|\d|[^\s\w]+"""
+        r"""[^\W\d_]+|\d|(?:[^\s\w]|_)+"""
     )
 
 CONTEXT_LENGTH = 77

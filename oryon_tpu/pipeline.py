@@ -107,6 +107,27 @@ def _pose_from_corrs(
     return T, jnp.sum(w)
 
 
+def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
+    """(model, variables) for the pretrained PointDSC registration module
+    (reference utils/pointdsc/init.py:32-57); random init when the snapshot
+    is absent (zero-egress sandbox)."""
+    import os
+
+    from oryon_tpu.models import convert
+    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
+
+    pd = PointDSC(PointDSCConfig())
+    snapshot = os.path.join(
+        pretrained_dir, "snapshot/PointDSC_3DMatch_release/models/model_best.pkl")
+    if os.path.exists(snapshot):
+        pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
+    else:
+        print("WARNING: PointDSC snapshot not found; random init")
+        dummy = jnp.zeros((n_corrs, 3))
+        pd_vars = pd.init(key, dummy, dummy, jnp.ones(n_corrs))
+    return pd, pd_vars
+
+
 def build_pipeline(
     model: OryonModel,
     params,
@@ -420,73 +441,72 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
     from oryon_tpu.eval.evaluator import pred_pose_csv_line
 
     n_registered = 0
-    if True:
-        B = batch.corrs.shape[0]
-        if out.packed is not None:
-            # one fetch for all per-batch scalars (6 separate np.asarray
-            # calls cost ~150 ms/batch through the relay)
-            packed = np.asarray(out.packed)
-            pred_rel = packed[:, :16].reshape(B, 4, 4)
-            pred_q = packed[:, 16:32].reshape(B, 4, 4)
-            n_corrs = packed[:, 32]
-            det = packed[:, 33] > 0
-            iou_a = packed[:, 34]
-            iou_q = packed[:, 35]
-        else:
-            det = np.asarray(out.detection_valid)
-            n_corrs = np.asarray(out.n_corrs)
-            iou_a = np.asarray(out.iou_a)
-            iou_q = np.asarray(out.iou_q)
-            pred_rel = np.asarray(out.pred_rel_pose)
-            pred_q = np.asarray(out.pred_pose)
-        valid = np.asarray(batch.valid)
-        gt_pose_q = np.asarray(batch.query.pose)
-        cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
-        # depth stays DEVICE-resident for the batched path: fetching the
-        # uint16 depth to host and re-uploading it as f32 costs ~15 MB of
-        # tunnel traffic per batch; the batched evaluator gathers/casts
-        # on-device. The per-pair fallback below still fetches.
-        depths_dev = batch.query.eval_depth
-        depths = None
+    B = batch.corrs.shape[0]
+    if out.packed is not None:
+        # one fetch for all per-batch scalars (6 separate np.asarray
+        # calls cost ~150 ms/batch through the relay)
+        packed = np.asarray(out.packed)
+        pred_rel = packed[:, :16].reshape(B, 4, 4)
+        pred_q = packed[:, 16:32].reshape(B, 4, 4)
+        n_corrs = packed[:, 32]
+        det = packed[:, 33] > 0
+        iou_a = packed[:, 34]
+        iou_q = packed[:, 35]
+    else:
+        det = np.asarray(out.detection_valid)
+        n_corrs = np.asarray(out.n_corrs)
+        iou_a = np.asarray(out.iou_a)
+        iou_q = np.asarray(out.iou_q)
+        pred_rel = np.asarray(out.pred_rel_pose)
+        pred_q = np.asarray(out.pred_pose)
+    valid = np.asarray(batch.valid)
+    gt_pose_q = np.asarray(batch.query.pose)
+    cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
+    # depth stays DEVICE-resident for the batched path: fetching the
+    # uint16 depth to host and re-uploading it as f32 costs ~15 MB of
+    # tunnel traffic per batch; the batched evaluator gathers/casts
+    # on-device. The per-pair fallback below still fetches.
+    depths_dev = batch.query.eval_depth
+    depths = None
 
-        batched = hasattr(evaluator, "register_test_batch")
-        ok_idx = [i for i in range(B)
-                  if valid[i] != 0 and det[i] and n_corrs[i] >= 4]
-        if batched and ok_idx:
-            sel = np.asarray(ok_idx)
-            evaluator.register_test_batch(
-                iou_a[sel], iou_q[sel], gt_pose_q[sel], pred_q[sel],
-                pred_rel[sel], [batch.cls_id[i] for i in ok_idx],
-                cameras[sel], depths_dev if compute_vsd else None,
-                [batch.instance_id[i] for i in ok_idx],
-                depth_index=sel)
-        for i in range(B):
-            if valid[i] == 0:  # padding rows
-                continue
-            n_registered += 1
-            if det[i] and n_corrs[i] >= 4:
-                if not batched:
-                    if depths is None and compute_vsd:
-                        depths = np.asarray(depths_dev)
-                    evaluator.register_test(
-                        iou_a[i], iou_q[i],
-                        gt_pose=gt_pose_q[i], pred_pose=pred_q[i],
-                        pred_pose_rel=pred_rel[i],
-                        camera=cameras[i],
-                        depth=depths[i] if compute_vsd else None,
-                        cls_id=batch.cls_id[i],
-                        instance_id=batch.instance_id[i],
-                    )
-                pose_out = pred_rel[i]
-            else:
-                evaluator.register_test_failure(
-                    iou_a[i], iou_q[i], cls_id=batch.cls_id[i],
-                    instance_id=batch.instance_id[i])
-                pose_out = np.eye(4)
-            if csv_fp is not None:
-                ia = batch.id_a[i] if batch.id_a is not None else batch.instance_id[i]
-                iq = batch.id_q[i] if batch.id_q is not None else batch.instance_id[i]
-                csv_fp.write(pred_pose_csv_line(str(ia), str(iq),
-                                                float(iou_a[i]), float(iou_q[i]),
-                                                pose_out))
+    batched = hasattr(evaluator, "register_test_batch")
+    ok_idx = [i for i in range(B)
+              if valid[i] != 0 and det[i] and n_corrs[i] >= 4]
+    if batched and ok_idx:
+        sel = np.asarray(ok_idx)
+        evaluator.register_test_batch(
+            iou_a[sel], iou_q[sel], gt_pose_q[sel], pred_q[sel],
+            pred_rel[sel], [batch.cls_id[i] for i in ok_idx],
+            cameras[sel], depths_dev if compute_vsd else None,
+            [batch.instance_id[i] for i in ok_idx],
+            depth_index=sel)
+    for i in range(B):
+        if valid[i] == 0:  # padding rows
+            continue
+        n_registered += 1
+        if det[i] and n_corrs[i] >= 4:
+            if not batched:
+                if depths is None and compute_vsd:
+                    depths = np.asarray(depths_dev)
+                evaluator.register_test(
+                    iou_a[i], iou_q[i],
+                    gt_pose=gt_pose_q[i], pred_pose=pred_q[i],
+                    pred_pose_rel=pred_rel[i],
+                    camera=cameras[i],
+                    depth=depths[i] if compute_vsd else None,
+                    cls_id=batch.cls_id[i],
+                    instance_id=batch.instance_id[i],
+                )
+            pose_out = pred_rel[i]
+        else:
+            evaluator.register_test_failure(
+                iou_a[i], iou_q[i], cls_id=batch.cls_id[i],
+                instance_id=batch.instance_id[i])
+            pose_out = np.eye(4)
+        if csv_fp is not None:
+            ia = batch.id_a[i] if batch.id_a is not None else batch.instance_id[i]
+            iq = batch.id_q[i] if batch.id_q is not None else batch.instance_id[i]
+            csv_fp.write(pred_pose_csv_line(str(ia), str(iq),
+                                            float(iou_a[i]), float(iou_q[i]),
+                                            pose_out))
     return n_registered

@@ -33,13 +33,11 @@ def main(argv):
     from oryon_tpu.data.datasets import PairDataset, pick_reader
     from oryon_tpu.eval.evaluator import BatchedEvaluator as Evaluator
     from oryon_tpu.models.oryon import build_model
-    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
     from oryon_tpu.models.tokenizer import ClipTokenizer
     from oryon_tpu.ops.matching import MatchParams
     from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
                                     make_text_cache, run_test_epoch)
     from oryon_tpu.train import create_train_state
-    from oryon_tpu.models import convert
 
     init_experiment(cfg)
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
@@ -74,17 +72,9 @@ def main(argv):
 
     pointdsc = None
     if cfg.test.solver == "pointdsc":
-        pd = PointDSC(PointDSCConfig())
-        import jax.numpy as jnp
-        snapshot = os.path.join(cfg.pretrained.pointdsc,
-                                "snapshot/PointDSC_3DMatch_release/models/model_best.pkl")
-        if os.path.exists(snapshot):
-            pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
-        else:
-            print("WARNING: PointDSC snapshot not found; random init")
-            dummy = jnp.zeros((cfg.dataset.max_corrs, 3))
-            pd_vars = pd.init(key, dummy, dummy, jnp.ones(cfg.dataset.max_corrs))
-        pointdsc = (pd, pd_vars)
+        from oryon_tpu.pipeline import build_pointdsc_solver
+        pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
+                                         cfg.dataset.max_corrs)
 
     pcfg = PipelineConfig(
         mask_source=cfg.test.mask, mask_threshold=cfg.test.mask_threshold,

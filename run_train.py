@@ -156,15 +156,22 @@ def run_validation(cfg, model, state, valid_ds, key, epoch):
     from oryon_tpu.data.loader import PrefetchLoader
     from oryon_tpu.eval.evaluator import BatchedEvaluator
     from oryon_tpu.ops.matching import MatchParams
-    from oryon_tpu.pipeline import PipelineConfig, build_pipeline, run_test_epoch
+    from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
+                                    build_pointdsc_solver, run_test_epoch)
 
+    # validation uses the CONFIGURED solver so its pose metrics track test
+    # behavior (reference validation_step, pipeline.py:196-247)
+    pointdsc = None
+    if cfg.test.solver == "pointdsc":
+        pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
+                                         cfg.test.n_corrs)
     pcfg = PipelineConfig(
         mask_source="predicted", mask_threshold=cfg.test.mask_threshold,
-        solver="ransac",
+        solver=cfg.test.solver,
         match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
                           dist_th=cfg.test.dist_th),
     )
-    pipe = build_pipeline(model, state.params, pcfg)
+    pipe = build_pipeline(model, state.params, pcfg, pointdsc)
     ev = BatchedEvaluator(cfg.exp_tag, compute_vsd=False)
     ev.add_object_info(valid_ds.reader.object_info())
     ev.init_test()

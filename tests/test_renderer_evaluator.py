@@ -182,7 +182,8 @@ def test_batched_evaluator_matches_per_pair(rng):
         ev = ev_cls("t", compute_vsd=True)
         ev.render_hw = HW
         V, F = icosphere()
-        mesh = pad_mesh(V, F)
+        # subdivide below the tile-8 footprint guard (flush() asserts)
+        mesh = pad_mesh(V, F, max_edge=5.0)
         pts = V[np.random.RandomState(0).choice(len(V), 150)]
         sym_id = np.eye(3, 4, dtype=np.float32)[None]
         R180 = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
