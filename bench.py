@@ -2,9 +2,13 @@
 
 Runs the flagship path at production shapes on the available accelerator:
 model forward (CLIP ViT-L/14@336 + Swin-B + fusion + decoder) -> masked NN
-matching -> depth lift -> RANSAC registration, batched.
+matching -> depth lift -> registration, batched.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline number uses the PROTOCOL solver — PointDSC, the reference's
+test-time default (reference configs/config.yaml:53-61); the RANSAC variant
+is reported as an auxiliary field.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 vs_baseline: the reference publishes no throughput (BASELINE.md); its test
 loop is per-sample Python with CPU correspondence matching
@@ -51,11 +55,20 @@ def main() -> None:
     params = init_by_shape(model, jax.random.PRNGKey(0), rgb_a[:1], rgb_q[:1], ids[:1])
     mp = MatchParams()
 
+    # protocol solver: PointDSC (reference configs/config.yaml:53-61);
+    # random-init weights (snapshot absent in-sandbox) — same compute shape
+    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
+    pd = PointDSC(PointDSCConfig())
+    dummy = jnp.zeros((mp.max_corrs, 3))
+    pd_vars = pd.init(jax.random.PRNGKey(1), dummy, dummy,
+                      jnp.ones(mp.max_corrs))
+
     # per-class text-embedding cache: a REAL275 sweep has ~34 classes for
     # 2000 pairs, so steady-state inference reuses cached prompt embeddings
     encode_text = jax.jit(lambda p, i: model.apply(p, i, method=model.encode_prompts))
 
-    def pipeline(params, key, rgb_a, rgb_q, text_emb, depth_a, depth_q, camera):
+    def pipeline(params, pd_vars, key, rgb_a, rgb_q, text_emb, depth_a,
+                 depth_q, camera, solver: str):
         out = model.apply(params, rgb_a, rgb_q, None, text_emb)
         mask_a = (jax.nn.sigmoid(out.mask_a) > 0.5).astype(jnp.uint8)
         mask_q = (jax.nn.sigmoid(out.mask_q) > 0.5).astype(jnp.uint8)
@@ -70,11 +83,17 @@ def main() -> None:
                                    jnp.stack([ya, xa], -1)) / 1000.0
         pq = jax.vmap(lift_pcd_at)(depth_q, camera,
                                    jnp.stack([yq, xq], -1)) / 1000.0
-        keys = jax.random.split(key, B)
-        poses, inl = jax.vmap(
-            lambda k, a, b, v: ransac_kabsch(k, a, b, v, num_hypotheses=256,
-                                             match_err=0.005)
-        )(keys, pa, pq, corrs.valid.astype(jnp.float32))
+        v = corrs.valid.astype(jnp.float32)
+        if solver == "pointdsc":
+            poses, labels, _ = jax.vmap(
+                lambda a, b, w: pd.apply(pd_vars, a, b, w))(pa, pq, v)
+            inl = jnp.sum(labels, axis=-1)
+        else:
+            keys = jax.random.split(key, B)
+            poses, inl = jax.vmap(
+                lambda k, a, b, w: ransac_kabsch(
+                    k, a, b, w, num_hypotheses=256, match_err=0.001)
+            )(keys, pa, pq, v)
         return poses, inl
 
     def sync(out):
@@ -82,29 +101,36 @@ def main() -> None:
         # before the computation runs; a host copy is the reliable barrier
         return float(np.asarray(out[0]).sum())
 
-    run = jax.jit(pipeline)
+    run = jax.jit(pipeline, static_argnames=("solver",))
     key = jax.random.PRNGKey(0)
     text_emb = encode_text(params, ids)
-    t0 = time.perf_counter()
-    sync(run(params, key, rgb_a, rgb_q, text_emb, depth_a, depth_q, camera))
-    compile_s = time.perf_counter() - t0
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(params, jax.random.PRNGKey(i), rgb_a, rgb_q, text_emb,
-                  depth_a, depth_q, camera)
-    sync(out)
-    dt = (time.perf_counter() - t0) / iters
-    pairs_per_sec = B / dt
+    def measure(solver: str, iters: int = 10) -> float:
+        sync(run(params, pd_vars, key, rgb_a, rgb_q, text_emb, depth_a,
+                 depth_q, camera, solver))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = run(params, pd_vars, jax.random.PRNGKey(i), rgb_a, rgb_q,
+                      text_emb, depth_a, depth_q, camera, solver)
+        sync(out)
+        return B * iters / (time.perf_counter() - t0)
 
+    protocol = measure("pointdsc")      # reference test-time default
+    ransac = measure("ransac")
+
+    global _PRINTED
     print(json.dumps({
         "metric": "e2e_image_pairs_per_sec",
-        "value": round(pairs_per_sec, 3),
+        "value": round(protocol, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / REFERENCE_PROXY_PAIRS_PER_SEC, 2),
+        "vs_baseline": round(protocol / REFERENCE_PROXY_PAIRS_PER_SEC, 2),
+        "solver": "pointdsc",
+        "ransac_variant": round(ransac, 3),
     }))
+    _PRINTED = True
 
+
+_PRINTED = False
 
 if __name__ == "__main__":
     try:
@@ -112,6 +138,8 @@ if __name__ == "__main__":
     except Exception as e:  # the remote-compile relay occasionally drops
         import sys, time, traceback
         traceback.print_exc(file=sys.stderr)
+        if _PRINTED:  # JSON already emitted; don't double-print
+            sys.exit(0)
         print("bench retrying once after transport error", file=sys.stderr)
         time.sleep(20)
         main()

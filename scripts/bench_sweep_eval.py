@@ -1,12 +1,18 @@
 """Eval-inclusive sweep benchmark: pairs/s through run_test_epoch with the
 full BOP evaluation (batched per-class metrics + VSD depth renders).
 
-Mirrors a REAL275-style 2000-pair test sweep on synthetic geometric data:
-full model forward -> matching -> lift -> solve -> BatchedEvaluator with
-VSD renders, class-sorted batching, lookahead dispatch.
+Mirrors the reference's four test configurations (reference README.md:33-45):
+{nocs, toyl} x {oracle, predicted} masks — on synthetic geometric fixture
+data (real REAL275/TOYL assets are absent in-sandbox).  The dataset styles
+differ the way the real sweeps do: class count (REAL275 ~6 categories vs
+TOYL 21 BOP objects -> more per-class metric buckets) and object scale.
 
-Usage: python scripts/bench_sweep_eval.py [n_pairs] [batch]
-Prints one JSON line.  (BASELINE.md "full sweep incl. eval" row.)
+Usage:
+  python scripts/bench_sweep_eval.py [n_pairs] [batch]            # nocs/oracle
+  python scripts/bench_sweep_eval.py [n_pairs] [batch] all        # 4 configs
+  python scripts/bench_sweep_eval.py [n_pairs] [batch] toyl-predicted
+Prints one JSON line per configuration.  (BASELINE.md "full sweep incl.
+eval" row.)
 """
 from __future__ import annotations
 
@@ -19,56 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+CONFIGS = ("nocs-oracle", "nocs-predicted", "toyl-oracle", "toyl-predicted")
 
-def main() -> None:
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
-    from oryon_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax
-
-    from oryon_tpu.data.synthetic import synthetic_pair_batch
-    from oryon_tpu.eval.evaluator import BatchedEvaluator, ObjectInfo
-    from oryon_tpu.models.oryon import full_oryon
-    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
-    from oryon_tpu.ops.matching import MatchParams
-    from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
-                                    make_text_cache, run_test_epoch)
-    from oryon_tpu.utils.initshape import init_by_shape
-
-    # a handful of distinct object classes, REAL275-style (~6 classes)
-    n_classes = 6
-    pool = [synthetic_pair_batch(seed=s, batch=B, n_prompts=80)
-            for s in range(n_classes)]
-    for ci, b in enumerate(pool):
-        pool[ci] = b._replace(cls_id=np.full(B, ci),
-                              instance_id=np.array([f"c{ci}_{i}" for i in range(B)]))
-
-    class LoopDataset:
-        def batches(self, batch_size, sort_by_class=False):
-            for i in range(-(-n_pairs // B)):
-                yield pool[i % n_classes]
-
-    model = full_oryon()
-    b0 = pool[0]
-    params = init_by_shape(model, jax.random.PRNGKey(0),
-                           b0.anchor.rgb[:1], b0.query.rgb[:1],
-                           b0.prompt_ids[:1])
-    pd_model = PointDSC(PointDSCConfig())
-    import jax.numpy as jnp
-    pd_params = pd_model.init(jax.random.PRNGKey(1),
-                              jnp.zeros((500, 3)), jnp.zeros((500, 3)),
-                              jnp.ones((500,)))
-    pcfg = PipelineConfig(mask_source="oracle", solver="pointdsc",
-                          match=MatchParams())
-    pipe = build_pipeline(model, params, pcfg, pointdsc=(pd_model, pd_params))
-    text_cache = make_text_cache(model, params)
-
-    rs = np.random.RandomState(0)
-    # UV-sphere model mesh (mm) for VSD renders, REAL275-style object size
-    from oryon_tpu.eval.renderer import pad_mesh
-    nth, nph, r = 24, 48, 45.0
+def sphere_mesh(r: float, nth: int = 24, nph: int = 48):
     th = np.linspace(0, np.pi, nth)
     ph = np.linspace(0, 2 * np.pi, nph, endpoint=False)
     V = np.stack(np.broadcast_arrays(
@@ -81,16 +41,52 @@ def main() -> None:
             a, b = i * nph + j, i * nph + (j + 1) % nph
             c, d = (i + 1) * nph + j, (i + 1) * nph + (j + 1) % nph
             F += [[a, b, c], [b, d, c]]
-    mesh = pad_mesh(V.astype(np.float32), np.array(F, np.int32))
+    return V.astype(np.float32), np.array(F, np.int32)
+
+
+def run_config(config: str, n_pairs: int, B: int, shared) -> None:
+    import jax
+
+    from oryon_tpu.data.synthetic import synthetic_pair_batch
+    from oryon_tpu.eval.evaluator import BatchedEvaluator, ObjectInfo
+    from oryon_tpu.eval.renderer import pad_mesh
+    from oryon_tpu.ops.matching import MatchParams
+    from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
+                                    run_test_epoch)
+
+    model, params, pd, text_cache = shared
+    style, mask_source = config.split("-")
+    # REAL275: ~6 categories, ~90mm objects; TOYL: 21 BOP objects, ~60mm
+    n_classes = 6 if style == "nocs" else 21
+    radius = 45.0 if style == "nocs" else 30.0
+
+    pool = [synthetic_pair_batch(seed=s, batch=B, n_prompts=80)
+            for s in range(n_classes)]
+    for ci, b in enumerate(pool):
+        pool[ci] = b._replace(cls_id=np.full(B, ci),
+                              instance_id=np.array([f"c{ci}_{i}" for i in range(B)]))
+
+    class LoopDataset:
+        def batches(self, batch_size, sort_by_class=False):
+            for i in range(-(-n_pairs // B)):
+                yield pool[i % n_classes]
+
+    pcfg = PipelineConfig(mask_source=mask_source, solver="pointdsc",
+                          match=MatchParams())
+    pipe = build_pipeline(model, params, pcfg, pointdsc=pd)
+
+    rs = np.random.RandomState(0)
+    V, F = sphere_mesh(radius)
+    mesh = pad_mesh(V, F)
     pts = V[rs.choice(len(V), 512)].astype(np.float32)
-    ev = BatchedEvaluator("bench", compute_vsd=True)
-    ev.add_object_info({c: ObjectInfo(pts, 2 * r,
+    ev = BatchedEvaluator(config, compute_vsd=True)
+    ev.add_object_info({c: ObjectInfo(pts, 2 * radius,
                                       np.eye(3, 4, dtype=np.float32)[None], mesh)
                         for c in range(n_classes)})
     ev.init_test()
 
     key = jax.random.PRNGKey(0)
-    # warm-up epoch (compiles every program incl. per-class metric programs)
+    # warm-up (compiles every program incl. per-class metric programs)
     warm = type("D", (), {"batches": lambda self, bs, **kw: iter(pool[:2])})()
     run_test_epoch(pipe, warm, ev, B, key, compute_vsd=True,
                    text_cache=text_cache)
@@ -103,11 +99,47 @@ def main() -> None:
     means = ev.get_means()
     print(json.dumps({
         "metric": "sweep_incl_eval_pairs_per_sec",
+        "config": config,
         "value": round(n / dt, 2),
         "unit": "pairs/s",
         "n_pairs": n,
+        "n_classes": n_classes,
         "ar": round(float(means.get("AR", -1)), 4),
     }), flush=True)
+
+
+def main() -> None:
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    which = sys.argv[3] if len(sys.argv) > 3 else "nocs-oracle"
+    configs = CONFIGS if which == "all" else (which,)
+    for c in configs:
+        assert c in CONFIGS, f"unknown config {c!r}; pick from {CONFIGS} or 'all'"
+
+    from oryon_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from oryon_tpu.data.synthetic import synthetic_pair_batch
+    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
+    from oryon_tpu.pipeline import make_text_cache
+    from oryon_tpu.utils.initshape import init_by_shape
+
+    model = full_oryon()
+    b0 = synthetic_pair_batch(seed=0, batch=1, n_prompts=80)
+    params = init_by_shape(model, jax.random.PRNGKey(0),
+                           b0.anchor.rgb, b0.query.rgb, b0.prompt_ids)
+    pd_model = PointDSC(PointDSCConfig())
+    pd_params = pd_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((500, 3)), jnp.zeros((500, 3)),
+                              jnp.ones((500,)))
+    text_cache = make_text_cache(model, params)
+    shared = (model, params, (pd_model, pd_params), text_cache)
+
+    for c in configs:
+        run_config(c, n_pairs, B, shared)
 
 
 if __name__ == "__main__":

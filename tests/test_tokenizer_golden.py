@@ -1,0 +1,97 @@
+"""CLIP-exact tokenization readiness (VERDICT round-1 item 7).
+
+Two layers of evidence for the real-merges code path
+(oryon_tpu/models/tokenizer.py:94-107), which cannot run in-sandbox because
+the published ``bpe_simple_vocab_16e6.txt.gz`` is absent (zero egress):
+
+1. A committed golden fixture of published CLIP token ids.  The test is
+   SKIPPED while the merges file is absent and will run (and must pass) the
+   moment the asset lands at any of the known locations.
+2. A merges-independent word-split parity test: the stdlib-``re`` fallback
+   pattern must split text exactly like the regex-module pattern the
+   published tokenizer uses (reference models/tokenizer.py:79), so token ids
+   cannot diverge at the pre-tokenization stage.
+"""
+import os
+import re
+
+import pytest
+
+from oryon_tpu.models.tokenizer import ClipTokenizer
+
+MERGES_CANDIDATES = [
+    "pretrained_models/bpe_simple_vocab_16e6.txt.gz",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "pretrained_models/bpe_simple_vocab_16e6.txt.gz"),
+]
+
+# Published OpenAI CLIP token ids (SimpleTokenizer over
+# bpe_simple_vocab_16e6.txt.gz).  SOT/EOT framing added by __call__.
+GOLDEN = [
+    ("a photo of a cat", [320, 1125, 539, 320, 2368]),
+    ("a photo of a dog", [320, 1125, 539, 320, 1929]),
+    ("the", [518]),
+]
+
+
+def _merges_path():
+    for p in MERGES_CANDIDATES:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def test_golden_token_ids():
+    path = _merges_path()
+    if path is None:
+        pytest.skip("bpe_simple_vocab_16e6.txt.gz absent (zero-egress "
+                    "sandbox); golden ids verified once assets land")
+    tok = ClipTokenizer(path)
+    assert tok.vocab_size == 49408
+    assert tok.sot == 49406 and tok.eot == 49407
+    for text, ids in GOLDEN:
+        got = tok.encode(text)
+        assert got == ids, f"{text!r}: got {got}, published {ids}"
+
+
+def test_sot_eot_ids_are_fixed():
+    """SOT/EOT ids are structural (256*2 byte vocab + 48894 merges) and must
+    hold for BOTH the real vocab and the byte-fallback (the fallback pads
+    no merges, so its ids differ — this documents the real-vocab contract)."""
+    tok = ClipTokenizer()  # fallback
+    # fallback: 512 byte tokens + SOT + EOT
+    assert tok.sot == 512 and tok.eot == 513
+    assert VOCAB_REAL_SOT == 49406 and VOCAB_REAL_EOT == 49407
+
+
+VOCAB_REAL_SOT = 256 * 2 + 48894  # = 49406
+VOCAB_REAL_EOT = VOCAB_REAL_SOT + 1
+
+
+def test_fallback_pattern_matches_regex_module():
+    """The stdlib-re fallback word pattern splits like the regex-module
+    pattern (letters/digits/punctuation incl. '_'), so pre-tokenization is
+    identical whichever module is installed."""
+    regex = pytest.importorskip("regex")
+    std = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+        r"""[^\W\d_]+|\d|(?:[^\s\w]|_)+""", re.IGNORECASE | re.UNICODE)
+    rx = regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+        r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", regex.IGNORECASE)
+    samples = [
+        "a photo of a cat", "it's the user's dog!", "hello_world",
+        "x _ y a__b", "12 drills", "café menu", "a-b c_d e.f",
+        "<|startoftext|>hi<|endoftext|>", "they're we've i'll i'd i'm",
+        "3.14 is pi", "snake_case_name", "  spaced   out  ",
+    ]
+    for s in samples:
+        assert std.findall(s) == rx.findall(s), s
+
+
+def test_active_pattern_handles_underscore():
+    """Whichever pattern got compiled at import, '_' must tokenize."""
+    tok = ClipTokenizer()
+    assert tok.pat.findall("hello_world") == ["hello", "_", "world"]
+    ids = tok.encode("hello_world")
+    assert len(ids) > 0
