@@ -100,9 +100,33 @@ def install_shims() -> None:
         om.OmegaConf = types.SimpleNamespace(
             create=lambda d=None: DictConfig(d or {}))
         om.ListConfig = list
+
+        class _OpenDict:
+            def __init__(self, cfg):
+                self.cfg = cfg
+
+            def __enter__(self):
+                return self.cfg
+
+            def __exit__(self, *a):
+                return False
+
+        om.open_dict = _OpenDict
         sys.modules["omegaconf"] = om
 
-    if "pytz" not in sys.modules:
+    try:
+        import pytz  # noqa: F401  — real package wins if present
+        _need_pytz = False
+    except ImportError:
+        _need_pytz = "pytz" not in sys.modules
+    if _need_pytz:
+        # fully initialize pandas BEFORE the fake pytz lands in sys.modules:
+        # pandas probes for pytz during init and a minimal shim sends it
+        # down a broken code path (circular-import AttributeError)
+        try:
+            import pandas  # noqa: F401
+        except ImportError:
+            pass
         import datetime as _dt
 
         pytz = types.ModuleType("pytz")
@@ -142,6 +166,31 @@ def ref_import(name: str):
         # append (not prepend) so repo modules always win name lookups
         sys.path.append(REFERENCE_ROOT)
     return importlib.import_module(name)
+
+
+def ref_import_with_stubs(name: str, stubs: dict):
+    """Import a reference module whose import-time deps we don't need.
+
+    ``stubs`` maps module names to stand-in module objects that are placed in
+    sys.modules ONLY for the duration of this import (the previous binding —
+    e.g. HuggingFace ``datasets`` shadowing the reference's datasets.py — is
+    restored afterwards; the imported module keeps its references)."""
+    install_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    saved = {}
+    for k, v in stubs.items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        sys.modules.pop(name, None)
+        return importlib.import_module(name)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
 
 
 def cfg_ns(d):
