@@ -277,6 +277,35 @@ class Shapenet6DReader:
         id_new2old = {new: old.split("_")[0] for old, new in data.items()}
         return cat_map, id_new2old
 
+    def object_info(self, n_faces: Optional[int] = None,
+                    max_edge: Optional[float] = None) -> Dict[int, ObjectInfo]:
+        """Per-object eval models (points + render mesh + diameter).
+
+        Present only for synthetic trees written by
+        scripts/make_synthetic_sn6d.py (a models/ dir of .npz files) — the
+        real ShapeNet6D training archive ships no eval models.  The stored
+        grid meshes have ~5 mm edges, already under the VSD rasterizer's
+        footprint guard at these working distances, so max_edge defaults to
+        no subdivision."""
+        mdir = join(self.root, "models")
+        if not os.path.isdir(mdir):
+            raise FileNotFoundError(
+                f"{mdir} absent: this ShapeNet6D tree has no eval models "
+                "(expected for the real training archive; synthetic trees "
+                "from scripts/make_synthetic_sn6d.py include them)")
+        out = {}
+        syms = np.eye(3, 4, dtype=np.float32)[None]
+        for fname in sorted(os.listdir(mdir)):
+            if not fname.endswith(".npz"):
+                continue
+            oid = int(fname[4:-4])
+            with np.load(join(mdir, fname)) as z:
+                mesh = pad_mesh(z["mesh_vertices"], z["mesh_faces"],
+                                n_faces, max_edge)
+                out[oid] = ObjectInfo(np.asarray(z["pts"]),
+                                      float(z["diameter"]), syms, mesh)
+        return out
+
     def get_item(self, scene_id: int, img_id: int = None, cat_id: int = None,
                  *, mask_type: str = "oracle") -> Dict:
         """Uniform reader signature (scene, img, obj, mask_type) so
