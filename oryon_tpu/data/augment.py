@@ -83,6 +83,11 @@ def resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """Half-pixel bilinear resize of [H, W(, C)] arrays."""
     H, W = img.shape[:2]
     OH, OW = out_hw
+    if (H, W) == (OH, OW):
+        # identity: at half-pixel alignment every weight is 0/1 and the
+        # gather reproduces the input — skip the 4-gather blend (~4 ms per
+        # 224x224x3 call; the loader hits this on pre-sized trees)
+        return img
     ys = (np.arange(OH) + 0.5) * H / OH - 0.5
     xs = (np.arange(OW) + 0.5) * W / OW - 0.5
     y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)

@@ -34,6 +34,12 @@ class SwinConfig:
     # einsum | pallas (packed windows) | band (fused map-level kernel, no
     # HBM partition) | noattn (profiling floor)
     attn_impl: str = "einsum"
+    # pad each stage to window multiples ONCE instead of per block: blocks
+    # run at padded resolution and re-zero the pad region after norm1 (the
+    # published per-block pad writes fresh zeros there), so real-token
+    # outputs are bit-identical while 2 pad + 2 crop HBM relayouts per
+    # stage disappear (pinned by test_swin_stage_pad_equivalence)
+    stage_pad: bool = False
 
 
 def relative_position_index(window: int) -> np.ndarray:
@@ -165,19 +171,35 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "einsum"
+    # real (unpadded) map size when the caller keeps the stage at padded
+    # resolution (SwinConfig.stage_pad); None = pad/crop per block
+    real_hw: "tuple[int, int] | None" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         w = self.window
-        shift = self.shift if min(H, W) > w else 0
+        prepadded = self.real_hw is not None
+        rH, rW = self.real_hw if prepadded else (H, W)
+        shift = self.shift if min(rH, rW) > w else 0
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        # pad bottom/right to window multiples (published behavior)
-        Hp = -(-H // w) * w
-        Wp = -(-W // w) * w
-        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        if prepadded:
+            # stage-level padding: the map already has window-multiple
+            # shape; re-zero the pad region (carries junk from the previous
+            # block's residual/MLP) to match the published fresh per-block
+            # zero pad — keys from pad tokens must be zeros
+            Hp, Wp = H, W
+            if (rH, rW) != (H, W):
+                pm = np.zeros((1, Hp, Wp, 1), np.float32)
+                pm[:, :rH, :rW] = 1.0
+                x = x * jnp.asarray(pm, x.dtype)
+        else:
+            # pad bottom/right to window multiples (published behavior)
+            Hp = -(-H // w) * w
+            Wp = -(-W // w) * w
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(shift_attention_mask(Hp, Wp, w, shift))
@@ -197,7 +219,8 @@ class SwinBlock(nn.Module):
             x = _window_reverse(wins, w, B, Hp, Wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-        x = x[:, :H, :W]
+        if not prepadded:
+            x = x[:, :H, :W]
         x = shortcut + x
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
@@ -241,23 +264,32 @@ class SwinGuidance(nn.Module):
                     name="patch_embed")(x.astype(self.dtype))
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
 
-        for i in range(c.depths[0]):
-            x = SwinBlock(c.embed_dim, c.heads[0], c.window,
-                          shift=0 if i % 2 == 0 else c.window // 2,
-                          mlp_ratio=c.mlp_ratio, dtype=self.dtype,
-                          attn_impl=c.attn_impl,
-                          name=f"stage1_block{i}")(x)
+        def run_stage(x, depth, dim, heads, prefix):
+            real_hw = None
+            if c.stage_pad:
+                B, H, W, _ = x.shape
+                Hp = -(-H // c.window) * c.window
+                Wp = -(-W // c.window) * c.window
+                if (Hp, Wp) != (H, W):
+                    real_hw = (H, W)
+                    x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+            for i in range(depth):
+                x = SwinBlock(dim, heads, c.window,
+                              shift=0 if i % 2 == 0 else c.window // 2,
+                              mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                              attn_impl=c.attn_impl, real_hw=real_hw,
+                              name=f"{prefix}_block{i}")(x)
+            if real_hw is not None:
+                x = x[:, :real_hw[0], :real_hw[1]]
+            return x
+
+        x = run_stage(x, c.depths[0], c.embed_dim, c.heads[0], "stage1")
         g3 = x.astype(jnp.float32)                                 # [96, 96, 128]
 
         x = PatchMerging(c.embed_dim, self.dtype, name="merge1")(x)
         g2 = x.astype(jnp.float32)                                 # [48, 48, 256]
 
-        for i in range(c.depths[1]):
-            x = SwinBlock(2 * c.embed_dim, c.heads[1], c.window,
-                          shift=0 if i % 2 == 0 else c.window // 2,
-                          mlp_ratio=c.mlp_ratio, dtype=self.dtype,
-                          attn_impl=c.attn_impl,
-                          name=f"stage2_block{i}")(x)
+        x = run_stage(x, c.depths[1], 2 * c.embed_dim, c.heads[1], "stage2")
 
         x = PatchMerging(2 * c.embed_dim, self.dtype, name="merge2")(x)
         g1 = x.astype(jnp.float32)                                 # [24, 24, 512]

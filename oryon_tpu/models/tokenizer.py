@@ -69,14 +69,16 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
     return pairs
 
 
-def _basic_clean(text: str) -> str:
-    # html unescape twice like the published pipeline; ftfy is optional
-    try:
-        import ftfy  # type: ignore
+try:  # ftfy is optional; resolve ONCE (a per-call failing import costs
+    import ftfy  # ~2 ms of sys.path scanning every encode — profiled)
+except ImportError:  # pragma: no cover
+    ftfy = None
 
+
+def _basic_clean(text: str) -> str:
+    # html unescape twice like the published pipeline
+    if ftfy is not None:
         text = ftfy.fix_text(text)
-    except ImportError:
-        pass
     text = html.unescape(html.unescape(text))
     return text.strip()
 
@@ -116,6 +118,7 @@ class ClipTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        self._encode_cache: Dict[str, List[int]] = {}
         self.pat = re.compile(_WORD_PATTERN, re.IGNORECASE)
 
     def bpe(self, token: str) -> str:
@@ -157,11 +160,18 @@ class ClipTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        # memoized per tokenizer: the pipeline re-tokenizes the same ~1.6k
+        # template x class strings every pair (80 prompts/pair)
+        hit = self._encode_cache.get(text)
+        if hit is not None:
+            return hit
         tokens: List[int] = []
-        text = _whitespace_clean(_basic_clean(text)).lower()
-        for tok in re.findall(self.pat, text):
+        clean = _whitespace_clean(_basic_clean(text)).lower()
+        for tok in re.findall(self.pat, clean):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             tokens.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
+        if len(self._encode_cache) < 100_000:
+            self._encode_cache[text] = tokens
         return tokens
 
     def decode(self, ids: Iterable[int]) -> str:

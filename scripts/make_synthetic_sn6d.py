@@ -33,10 +33,24 @@ from os.path import join
 
 import numpy as np
 
-K = np.array([[591.0125, 0, 322.525],
-              [0, 590.16775, 244.11084],
-              [0, 0, 1]], np.float64)
-OH, OW = 480, 640
+K640 = np.array([[591.0125, 0, 322.525],
+                 [0, 590.16775, 244.11084],
+                 [0, 0, 1]], np.float64)
+
+
+def cam_for(hw):
+    """Intrinsics for a frame size, scaled from the 480x640 REAL275 K."""
+    oh, ow = hw
+    s = np.diag([ow / 640.0, oh / 480.0, 1.0])
+    return s @ K640
+
+
+# (OH, OW, K) per split: train frames are written at model input size so
+# the 1-core host loader is not decode/resize-bound at B=32 (~4.4 s/batch
+# at 480x640 vs ~0.4 s at 224 — profiled); val keeps the full 480x640 frame
+# because VSD renders/compares at the original depth resolution.
+TRAIN_HW = (224, 224)
+VAL_HW = (480, 640)
 CATEGORIES = [
     ("chair", "chair,seat"), ("table", "table,desk"), ("mug", "mug,cup"),
     ("bottle", "bottle,flask"), ("bowl", "bowl,dish"), ("camera", "camera"),
@@ -107,10 +121,11 @@ def _random_pose(rs, max_angle=0.45, max_shift=0.07):
     return T
 
 
-def make_canonical(rs):
+def make_canonical(rs, hw, K):
     """Canonical textured surface (points mm in view-0 camera frame)."""
-    oh = rs.randint(90, 150)
-    ow = rs.randint(90, 150)
+    OH, OW = hw
+    oh = rs.randint(int(OH * 0.19), int(OH * 0.32))
+    ow = rs.randint(int(OW * 0.14), int(OW * 0.24))
     oy = rs.randint(OH // 8, OH - oh - OH // 8)
     ox = rs.randint(OW // 8, OW - ow - OW // 8)
     ry = np.arange(oh, dtype=np.float64)[:, None]
@@ -130,8 +145,9 @@ def make_canonical(rs):
     return pts, tex, grid_shape
 
 
-def render_view(pts_mm, tex, T, rs):
+def render_view(pts_mm, tex, T, rs, hw, K):
     """Rigid-move canonical surface, z-buffer splat depth+texture."""
+    OH, OW = hw
     p = pts_mm / 1000.0 @ T[:3, :3].T + T[:3, 3]
     z_mm = p[:, 2] * 1000.0
     u = p[:, 0] / p[:, 2] * K[0, 0] + K[0, 2]
@@ -158,7 +174,7 @@ def render_view(pts_mm, tex, T, rs):
     return depth, mask, rgb, vi, ui, vis, in_frame.mean()
 
 
-def save_view(root, img_id, depth, mask, rgb, pose, cls_id):
+def save_view(root, img_id, depth, mask, rgb, pose, cls_id, K):
     from PIL import Image
     Image.fromarray(np.clip(rgb * 255, 0, 255).astype(np.uint8)).save(
         join(root, "raw_data", "rgb", f"{img_id:06d}.jpg"), quality=92)
@@ -200,17 +216,21 @@ def main(argv):
         meta_lines.append(f'wss.{name},0,{cat},"{lemmas}",{name}_model,0\n')
         objnm2clsid[f"{name}_0"] = oid
 
-        pts, tex, grid = make_canonical(rs)
+        hw = TRAIN_HW if split == "train" else VAL_HW
+        Kc = cam_for(hw)
+        pts, tex, grid = make_canonical(rs, hw, Kc)
         view_data = []
         for vI in range(views):
             for attempt in range(25):
                 T = (np.eye(4) if vI == 0 else
                      _random_pose(rs, 0.45 / (1 + attempt * 0.2),
                                   0.07 / (1 + attempt * 0.3)))
-                depth, mask, rgb, vi, ui, vis, frac = render_view(pts, tex, T, rs)
+                depth, mask, rgb, vi, ui, vis, frac = render_view(
+                    pts, tex, T, rs, hw, Kc)
                 if frac > 0.93:
                     break
-            annots_gt[img_id] = save_view(root, img_id, depth, mask, rgb, T, oid)
+            annots_gt[img_id] = save_view(root, img_id, depth, mask, rgb, T,
+                                          oid, Kc)
             view_data.append((img_id, T, vi, ui, vis))
             img_id += 1
 

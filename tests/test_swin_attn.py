@@ -64,3 +64,23 @@ def test_swin_guidance_kernel_impls_match_einsum(impl):
         # bf16 block compute bounds the agreement
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("impl", ["einsum", "band"])
+def test_swin_stage_pad_equivalence(impl):
+    """stage_pad=True (pad once per stage, re-zero pad after norm1) must be
+    numerically identical to the per-block pad/crop path: the pad region is
+    re-zeroed before it can act as attention keys, and pointwise ops keep
+    pad junk inside the pad region."""
+    imgs = jnp.array(np.random.RandomState(2).rand(1, 96, 96, 3)
+                     .astype(np.float32))
+    ref_m = SwinGuidance(SwinConfig(attn_impl="einsum", stage_pad=False))
+    params = ref_m.init(KEY, imgs)
+    g_ref = ref_m.apply(params, imgs)
+    sp = SwinGuidance(SwinConfig(attn_impl=impl, stage_pad=True))
+    with _Interpret():
+        g_sp = sp.apply(params, imgs)
+    tol = dict(atol=1e-5, rtol=1e-5) if impl == "einsum" else \
+        dict(atol=5e-2, rtol=5e-2)
+    for a, b in zip(g_ref, g_sp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
