@@ -25,6 +25,27 @@ einsum path (49.3 vs 45.6 ms for the guidance tower; an attention-stubbed
 floor runs 43.5 ms) — the tower's cost is dominated by the pad/roll/window
 partition layout passes, not by attention math, so this stays opt-in
 (SwinConfig.attn_impl="pallas") pending a fused-layout design.
+
+Round-2 verdict on the fused-layout design (band_window_attention below —
+window extraction + bias + attention + reverse all in VMEM, one program per
+w-row band, no HBM window partition): measured DEAD END.  Device traces
+(scripts/profile_swin.py --trace + scripts/trace_op_table.py, immune to the
+pool noise) over the whole guidance tower:
+
+    einsum      14.85 ms/iter   (attention+layout spread over ~30 fusions)
+    einsum+pad  15.15 ms/iter   (stage-level padding: no on-device win)
+    pallas      15.63 ms/iter   (packed block-diagonal kernel)
+    band        14.71 ms/iter   (2x 2.26 ms stage-1 + 2x 1.09 ms stage-2)
+    noattn       8.92 ms/iter   (floor: patch embed + convs + MLPs + norms)
+
+The band kernel absorbs the pad/roll/partition layout passes but spends the
+same time itself: 49-token windows keep every matmul at [49*7, 32]-scale,
+far off the MXU's preferred tiling, and the per-band qkv reload duplicates
+HBM traffic across the shifted halves.  Attention variants can only move
+the ~5.9 ms above the 8.9 ms floor, and all four designs land within 6% of
+each other — the tower is at its practical floor for this architecture.
+Both kernels stay opt-in (attn_impl="pallas" | "band"); einsum remains the
+default.
 """
 from __future__ import annotations
 
