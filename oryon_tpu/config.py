@@ -193,6 +193,8 @@ class Config:
 def _apply(obj: Any, key: str, value: Any) -> None:
     parts = key.split(".")
     for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"Unknown config key: {key}")
         obj = getattr(obj, p)
     leaf = parts[-1]
     if not hasattr(obj, leaf):
@@ -229,6 +231,11 @@ def load_config(path: Optional[str] = None, overrides: Optional[List[str]] = Non
             value = yaml.safe_load(raw)
         except yaml.YAMLError:
             value = raw
+        if isinstance(value, bool) and raw.strip().lower() not in ("true", "false"):
+            # YAML 1.1 parses yes/no/on/off as booleans; string-valued keys
+            # (e.g. test.add_description=yes) must keep the literal text.
+            # Bool-valued keys still coerce in _apply ("yes" counts as true).
+            value = raw.strip()
         _apply(cfg, key.strip(), value)
     return cfg
 

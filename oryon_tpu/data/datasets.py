@@ -366,7 +366,7 @@ class PairDataset:
         img_size: Tuple[int, int] = (224, 224),
         augment: bool = False,
         aug_cfg: Optional[AugmentConfig] = None,
-        add_description: bool = True,
+        add_description: str = "no",
         synset_aug: bool = False,
         debug_valid: bool = False,
         mask_type: str = "oracle",
@@ -381,6 +381,7 @@ class PairDataset:
         self.augment = augment
         self.aug_cfg = aug_cfg or AugmentConfig(out_size=self.img_size)
         self.aug_cfg.out_size = self.img_size
+        self.add_description = add_description
         self.synset_aug = synset_aug
         self.debug_valid = debug_valid
         self.mask_type = mask_type
@@ -444,6 +445,17 @@ class PairDataset:
         name = cls_name
         if self.augment and self.synset_aug and cls_descs and self.rs.rand() > 0.2:
             name = self.rs.choice(list(cls_descs))
+        # test-time description ablations (reference get_item_prompt,
+        # datasets.py:515-527/685-697): 'yes' prepends the object's first
+        # description, 'wrong' the second (mismatched) one, 'desconly'
+        # replaces the class name with 'object'
+        descs = list(cls_descs) if cls_descs else []
+        if self.add_description == "yes" and descs:
+            name = f"{descs[0]} {name}"
+        elif self.add_description == "wrong" and len(descs) > 1:
+            name = f"{descs[1]} {name}"
+        elif self.add_description == "desconly" and descs:
+            name = f"{descs[0]} object"
         prompts = [template.format(name) for template in self.templates]
         return prompts[: self.n_prompts - 1] if self.n_prompts else prompts
 

@@ -47,6 +47,7 @@ def main(argv):
                      img_size=cfg.dataset.img_size, augment=False,
                      debug_valid=cfg.debug_valid, mask_type="oracle"
                      if cfg.test.mask == "predicted" else cfg.test.mask,
+                     add_description=str(cfg.test.add_description),
                      obj_split=str(cfg.dataset.test.obj))
     print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
           f" Samples: {len(ds)}")

@@ -9,6 +9,27 @@ sys.path.insert(0, os.getcwd())
 from tests.test_data import nocs_root  # fixture reuse  # noqa: F401
 
 
+def test_load_config_override_coercions():
+    """CLI override grammar: YAML-1.1 words (yes/no/on/off) must stay
+    literal text for string-valued keys (test.add_description=yes was
+    silently becoming 'True') while still coercing for bool-valued keys;
+    numbers/tuples keep their field types."""
+    from oryon_tpu.config import load_config
+
+    cfg = load_config(None, ["test.add_description=yes", "use_seed=yes",
+                             "compute_vsd=off", "optimization.lr=0.01",
+                             "dataset.img_size=[112,112]"])
+    assert cfg.test.add_description == "yes"
+    assert cfg.use_seed is True
+    assert cfg.compute_vsd is False
+    assert cfg.optimization.lr == 0.01
+    assert cfg.dataset.img_size == (112, 112)
+    cfg = load_config(None, ["test.add_description=wrong", "use_seed=false"])
+    assert cfg.test.add_description == "wrong" and cfg.use_seed is False
+    with pytest.raises(KeyError):
+        load_config(None, ["no.such.key=1"])
+
+
 def test_run_test_cli(nocs_root, tmp_path, capsys):
     import run_test
     run_test.main([

@@ -368,6 +368,31 @@ def test_object_split_filter(nocs_root):
     assert len(ds_none) == 0
 
 
+def test_prompt_description_modes(nocs_root):
+    """test.add_description ablations (reference get_item_prompt,
+    datasets.py:515-527): 'yes' prepends the first description, 'wrong' the
+    second, 'desconly' replaces the class name with 'object'."""
+    tok = ClipTokenizer()
+    # fixture obj_names.json: cls_name='mug', cls_descs=['cup', 'coffee mug']
+    def prompts(mode):
+        ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                         max_corrs=8, img_size=(56, 56), n_prompts=3,
+                         add_description=mode)
+        return ds._prompts("mug", ["cup", "coffee mug"])
+
+    assert prompts("no") == ["a photo of a mug", "a picture of a mug"]
+    assert prompts("yes") == ["a photo of a cup mug", "a picture of a cup mug"]
+    assert prompts("wrong") == ["a photo of a coffee mug mug",
+                                "a picture of a coffee mug mug"]
+    assert prompts("desconly") == ["a photo of a cup object",
+                                   "a picture of a cup object"]
+    # no descriptions available -> bare name, no crash
+    ds = PairDataset(NocsReader(nocs_root), "test_split", tok,
+                     max_corrs=8, img_size=(56, 56), n_prompts=3,
+                     add_description="yes")
+    assert ds._prompts("mug", []) == ["a photo of a mug", "a picture of a mug"]
+
+
 def test_pair_dataset_drives_shapenet_reader(shapenet_root):
     """PairDataset must drive Shapenet6DReader end to end (the default
     TRAIN dataset — a reader-signature mismatch here crashes run_train)."""
