@@ -40,6 +40,10 @@ class DatasetConfig:
     batch_size: int = 32
     img_size: Tuple[int, int] = (224, 224)
     max_corrs: int = 500
+    # in-RAM decoded-item cache (GiB; 0 disables). Exact numerics — hides
+    # per-item image decode from the 1-worker host critical path the way
+    # the reference hides it behind 8 DataLoader workers (pipeline.py:507).
+    cache_gib: float = 16.0
     train: TrainSplitConfig = field(default_factory=TrainSplitConfig)
     test: TestSplitConfig = field(default_factory=TestSplitConfig)
 

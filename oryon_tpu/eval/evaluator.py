@@ -28,6 +28,16 @@ from oryon_tpu.eval.renderer import Mesh, max_screen_footprint, render_depth
 from oryon_tpu.geometry.pcd import diameter
 
 
+def _json_py(o):
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o).__name__}")
+
+
 class ObjectInfo:
     """Per-class model data (reference add_object_info, evaluator.py:106-114)."""
 
@@ -255,7 +265,9 @@ class Evaluator:
     def save(self, fp: TextIO) -> None:
         out = dict(self.metrics)
         out.update(self.counts)
-        json.dump(out, fp)
+        # registered ids/values may be numpy scalars (e.g. shapenet6d int64
+        # class ids); coerce so the metrics JSON is always writable
+        json.dump(out, fp, default=_json_py)
 
 
 def pred_pose_csv_line(id_a: str, id_q: str, iou_a: float, iou_q: float,

@@ -42,7 +42,12 @@ def main(argv):
     init_experiment(cfg)
     root = os.path.join(cfg.dataset.root, cfg.dataset.test.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
-    ds = PairDataset(pick_reader(cfg.dataset.test.name)(root), cfg.dataset.test.split,
+    reader = pick_reader(cfg.dataset.test.name)(root)
+    if cfg.dataset.cache_gib > 0:
+        from oryon_tpu.data.cache import CachedReader
+        reader = CachedReader(reader,
+                              max_bytes=int(cfg.dataset.cache_gib * 2**30))
+    ds = PairDataset(reader, cfg.dataset.test.split,
                      tokenizer, max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size, augment=False,
                      debug_valid=cfg.debug_valid, mask_type="oracle"

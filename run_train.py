@@ -42,8 +42,16 @@ def main(argv):
     import os
     root = os.path.join(cfg.dataset.root, cfg.dataset.train.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
+
+    def wrap_cache(reader):
+        if cfg.dataset.cache_gib <= 0:
+            return reader
+        from oryon_tpu.data.cache import CachedReader
+        return CachedReader(reader, max_bytes=int(cfg.dataset.cache_gib * 2**30))
+
     train_ds = PairDataset(
-        pick_reader(cfg.dataset.train.name)(root), cfg.dataset.train.split,
+        wrap_cache(pick_reader(cfg.dataset.train.name)(root)),
+        cfg.dataset.train.split,
         tokenizer, max_corrs=cfg.dataset.max_corrs,
         img_size=cfg.dataset.img_size, augment=True,
         synset_aug=cfg.augs.text.synset, mask_type="oracle",
@@ -106,7 +114,7 @@ def main(argv):
             reader = None
         if reader is not None:
             valid_ds = PairDataset(
-                reader(valid_root), cfg.dataset.test.split,
+                wrap_cache(reader(valid_root)), cfg.dataset.test.split,
                 tokenizer, max_corrs=cfg.dataset.max_corrs,
                 img_size=cfg.dataset.img_size, augment=False,
                 mask_type="oracle")

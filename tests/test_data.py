@@ -368,6 +368,49 @@ def test_object_split_filter(nocs_root):
     assert len(ds_none) == 0
 
 
+def test_cached_reader_exact_and_isolated(nocs_root):
+    """CachedReader must be a bit-exact, mutation-safe drop-in."""
+    from oryon_tpu.data.cache import CachedReader
+
+    direct = NocsReader(nocs_root)
+    cached = CachedReader(NocsReader(nocs_root))
+    a = direct.get_item(1, 0, "mug_1")
+    b = cached.get_item(1, 0, "mug_1")     # miss
+    c = cached.get_item(1, 0, "mug_1")     # hit
+    assert cached.stats()["hits"] == 1 and cached.stats()["misses"] == 1
+    for k in a:
+        if isinstance(a[k], np.ndarray):
+            assert a[k].dtype == b[k].dtype and np.array_equal(a[k], b[k]), k
+            assert np.array_equal(b[k], c[k]), k
+        else:
+            assert a[k] == b[k] == c[k], k
+    # downstream in-place mutation must not poison the cache
+    b["rgb"] *= 0.0
+    b["mask"][:] = 9
+    d = cached.get_item(1, 0, "mug_1")
+    assert np.array_equal(d["rgb"], a["rgb"]) and np.array_equal(d["mask"], a["mask"])
+    # attribute passthrough: reader API surfaces intact
+    assert cached.name == "nocs" and "mug_1" in cached.object_info(max_edge=10.0)
+    # LRU bound: a tiny budget holds at most one item
+    tiny = CachedReader(NocsReader(nocs_root), max_bytes=a["rgb"].nbytes)
+    tiny.get_item(1, 0, "mug_1")
+    tiny.get_item(1, 1, "mug_1")
+    assert tiny.stats()["items"] <= 1
+    e = tiny.get_item(1, 1, "mug_1")
+    assert np.array_equal(e["depth"], direct.get_item(1, 1, "mug_1")["depth"])
+
+    # PairDataset over a cached reader yields identical batches
+    tok = ClipTokenizer()
+    mk = lambda r: PairDataset(r, "test_split", tok, max_corrs=16,
+                               img_size=(56, 56), n_prompts=3)
+    b1 = next(mk(NocsReader(nocs_root)).batches(2))
+    b2 = next(mk(CachedReader(NocsReader(nocs_root))).batches(2))
+    for f in b1._fields:
+        v1, v2 = getattr(b1, f), getattr(b2, f)
+        if isinstance(v1, np.ndarray):
+            assert np.array_equal(v1, v2), f
+
+
 def test_prompt_description_modes(nocs_root):
     """test.add_description ablations (reference get_item_prompt,
     datasets.py:515-527): 'yes' prepends the first description, 'wrong' the

@@ -164,6 +164,23 @@ def test_evaluator_failure_bookkeeping():
     assert "test &" in latex and latex.endswith("\\\\")
 
 
+def test_evaluator_save_numpy_scalar_ids():
+    """Metrics JSON must serialize numpy-scalar ids/values (shapenet6d
+    class ids arrive as np.int64; regression for a truncated-JSON crash
+    found driving run_test.py on the synthetic val split)."""
+    import io
+    import json
+
+    ev, _ = _make_evaluator(compute_vsd=False)
+    ev.init_test()
+    ev.register_test_failure(np.float32(0.0), np.float32(0.0),
+                             cls_id=np.int64(2501), instance_id="f0")
+    buf = io.StringIO()
+    ev.save(buf)
+    d = json.loads(buf.getvalue())
+    assert d["cls_id"] == [2501]
+
+
 def test_csv_line_format():
     pose = np.arange(16, dtype=np.float32).reshape(4, 4)
     line = pred_pose_csv_line("s1 i1 obj", "s2 i2 obj", 0.5, 0.75, pose)
