@@ -14,10 +14,29 @@ checkpoint.py: results_dir/logs_dir/ckpt_dir).
 from __future__ import annotations
 
 import dataclasses
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 import yaml
+
+
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader with YAML-1.2 bool semantics: only true/false parse as
+    booleans; yes/no/on/off stay literal strings.  This keeps string-valued
+    keys (test.add_description: yes) intact in BOTH config files and CLI
+    overrides; bool-valued keys still accept yes/on via _apply's coercion."""
+
+
+_Yaml12Loader.yaml_implicit_resolvers = {
+    ch: [(tag, rx) for tag, rx in resolvers
+         if tag != "tag:yaml.org,2002:bool"]
+    for ch, resolvers in yaml.SafeLoader.yaml_implicit_resolvers.items()
+}
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:bool",
+    re.compile(r"^(?:true|True|TRUE|false|False|FALSE)$"),
+    list("tTfF"))
 
 
 @dataclass
@@ -207,7 +226,7 @@ def _apply(obj: Any, key: str, value: Any) -> None:
     if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
         value = tuple(value)
     elif isinstance(cur, bool) and isinstance(value, str):
-        value = value.lower() in ("1", "true", "yes")
+        value = value.lower() in ("1", "true", "yes", "on")
     elif cur is not None and not isinstance(cur, (dict, list, tuple)) and not dataclasses.is_dataclass(cur):
         value = type(cur)(value)
     setattr(obj, leaf, value)
@@ -227,19 +246,14 @@ def load_config(path: Optional[str] = None, overrides: Optional[List[str]] = Non
     cfg = Config()
     if path is not None:
         with open(path) as f:
-            data = yaml.safe_load(f) or {}
+            data = yaml.load(f, Loader=_Yaml12Loader) or {}
         _merge_dict(cfg, data)
     for ov in overrides or []:
         key, _, raw = ov.partition("=")
         try:
-            value = yaml.safe_load(raw)
+            value = yaml.load(raw, Loader=_Yaml12Loader)
         except yaml.YAMLError:
             value = raw
-        if isinstance(value, bool) and raw.strip().lower() not in ("true", "false"):
-            # YAML 1.1 parses yes/no/on/off as booleans; string-valued keys
-            # (e.g. test.add_description=yes) must keep the literal text.
-            # Bool-valued keys still coerce in _apply ("yes" counts as true).
-            value = raw.strip()
         _apply(cfg, key.strip(), value)
     return cfg
 

@@ -305,6 +305,7 @@ class BatchedEvaluator(Evaluator):
         # flush() fetches them (one stacked array per class group) when the
         # summary is actually needed — the sweep loop never blocks on eval
         self._pending: List = []
+        self._fp_checked = False
 
     @staticmethod
     def _up8(n: int) -> int:
@@ -399,23 +400,26 @@ class BatchedEvaluator(Evaluator):
                                          hw, tile=8)
                     d_gt = render_depth(mesh, g[:3, :3], g[:3, 3] * 1000, k,
                                         hw, tile=8)
-                    # rasterizer-correctness guard: the largest triangle
-                    # screen footprint under the GT pose (pred can be a
-                    # zeroed failure pose -> huge bogus footprint) must stay
-                    # under the tile or the render silently drops pixels;
-                    # checked host-side at flush()
+                    # rasterizer-correctness guards: any triangle screen
+                    # footprint above the tile silently drops pixels.
+                    # Checked host-side (_check_footprints): GT overflow is
+                    # a configuration error (raise), pred overflow only
+                    # invalidates that pair's d_est render
                     fp = max_screen_footprint(mesh, g[:3, :3],
                                               g[:3, 3] * 1000, k)
+                    fpp = max_screen_footprint(mesh, p[:3, :3],
+                                               p[:3, 3] * 1000, k)
                     return vsd_recall(vsd_errors(d_est, d_gt, d, k, delta,
-                                                 taus, diam)), fp
+                                                 taus, diam)), fp, fpp
 
-                vsd_r, fp = jax.vmap(one_vsd)(pred, gt, K, depth)
+                vsd_r, fp, fpp = jax.vmap(one_vsd)(pred, gt, K, depth)
             else:
                 vsd_r = jnp.zeros_like(mssd_r)
                 fp = jnp.zeros_like(mssd_r)
+                fpp = jnp.zeros_like(mssd_r)
             # ONE stacked array -> one device->host fetch per class group
-            return jnp.stack([errR, errT, add_ok, mssd_r, mspd_r, vsd_r, fp],
-                             axis=1)
+            return jnp.stack([errR, errT, add_ok, mssd_r, mspd_r, vsd_r, fp,
+                              fpp], axis=1)
 
         self._runner = run
         return run
@@ -468,24 +472,59 @@ class BatchedEvaluator(Evaluator):
             pending=pending, B=B, iou_a=np.asarray(iou_a),
             iou_q=np.asarray(iou_q), cls_ids=list(cls_ids),
             instance_ids=list(instance_ids), failed=failed, zero=zero))
+        if self.compute_vsd and not self._fp_checked:
+            # fail fast on mesh-capacity errors: the GT-pose footprint
+            # hazard is mesh/max_edge-dominated, so checking the FIRST
+            # batch synchronously catches a bad registration immediately
+            # instead of at flush() after the whole sweep (one extra
+            # fetch, once — the first batch is compile-dominated anyway)
+            self._check_footprints(self._materialize(self._pending[-1]),
+                                   self._pending[-1])
+            self._fp_checked = True
+
+    @staticmethod
+    def _materialize(item) -> np.ndarray:
+        res = np.zeros((item["B"], 8), np.float64)
+        for sel, out in item["pending"]:
+            res[sel] = np.asarray(out)[: len(sel)]
+        return res
+
+    def _check_footprints(self, res: np.ndarray, item) -> np.ndarray:
+        """Rasterizer-correctness guard (render_depth tile=8).
+
+        GT-pose overflow means the class mesh was registered with too
+        coarse a ``max_edge`` for the scene depths — a configuration
+        error: raise.  Predicted-pose overflow (a real solution far closer
+        to the camera than any GT pose ever gets) only invalidates that
+        pair's d_est render; the caller zeroes those VSD recalls (a pose
+        in that regime is grossly wrong, so its recall would be ~0
+        anyway).  Zero/failure poses were replaced by identity (bogus
+        footprint) and are excluded.  Returns the pred-overflow row mask."""
+        fp_gt = res[:, 6]
+        if fp_gt.max() > 8.0:
+            i = int(fp_gt.argmax())
+            raise RuntimeError(
+                f"VSD rasterizer would drop pixels: mesh for class "
+                f"{item['cls_ids'][i]!r} has a triangle with screen "
+                f"footprint {fp_gt[i]:.1f}px > tile 8 under a GT pose — "
+                f"re-register object_info with a smaller max_edge")
+        real = ~(np.asarray(item["failed"], bool)
+                 | np.asarray(item["zero"], bool))
+        return real & (res[:, 7] > 8.0)
 
     def flush(self) -> None:
         """Resolve all deferred registrations (fetches the queued device
         arrays — one per class group — and appends the host-side rows)."""
         for item in self._pending:
             B = item["B"]
-            res = np.zeros((B, 7), np.float64)
-            for sel, out in item["pending"]:
-                res[sel] = np.asarray(out)[: len(sel)]
+            res = self._materialize(item)
             if self.compute_vsd:
-                fp_max = float(res[:, 6].max())
-                if fp_max > 8.0:  # the render_depth tile used above
-                    bad = item["cls_ids"][int(res[:, 6].argmax())]
-                    raise RuntimeError(
-                        f"VSD rasterizer would drop pixels: mesh for class "
-                        f"{bad!r} has a triangle with screen footprint "
-                        f"{fp_max:.1f}px > tile 8 under a GT pose — "
-                        f"re-register object_info with a smaller max_edge")
+                fp_bad = self._check_footprints(res, item)
+                if fp_bad.any():
+                    res[fp_bad, 5] = 0.0
+                    print(f"WARNING: {int(fp_bad.sum())} predicted pose(s) "
+                          "closer than the rasterizer depth bound; their "
+                          "VSD recalls set to 0 (render would drop pixels)")
             self.register_train(item["iou_a"], item["iou_q"])
             for i in range(B):
                 self.counts["Missing segm"].append(0)

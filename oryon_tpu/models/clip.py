@@ -66,7 +66,9 @@ class MultiHeadAttention(nn.Module):
     ``seg`` MUST be batch-uniform padding segment ids ([B, L] with identical
     rows, or [L]): the fused kernel derives ONE key mask from row 0 —
     correct for ClipVisionTower's own length-padding (same L for the whole
-    batch), wrong for per-sample segments.  Enforced below.
+    batch), silently WRONG for per-sample segments.  Not verifiable under
+    jit (seg is traced), so this is an API contract, not a runtime check:
+    callers with per-sample padding must use attn_impl="auto".
     """
 
     width: int

@@ -164,14 +164,16 @@ class ClipTokenizer:
         # template x class strings every pair (80 prompts/pair)
         hit = self._encode_cache.get(text)
         if hit is not None:
-            return hit
+            return list(hit)
         tokens: List[int] = []
         clean = _whitespace_clean(_basic_clean(text)).lower()
         for tok in re.findall(self.pat, clean):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             tokens.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
         if len(self._encode_cache) < 100_000:
-            self._encode_cache[text] = tokens
+            # store an immutable copy: callers may mutate the returned list
+            # (e.g. append EOT) and must never poison the memo
+            self._encode_cache[text] = tuple(tokens)
         return tokens
 
     def decode(self, ids: Iterable[int]) -> str:

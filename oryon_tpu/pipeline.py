@@ -107,6 +107,15 @@ def _pose_from_corrs(
     return T, jnp.sum(w)
 
 
+def pointdsc_snapshot_path(pretrained_dir: str) -> str:
+    """Location of the pretrained PointDSC weights inside the snapshot tree
+    (reference utils/pointdsc/init.py:32-40)."""
+    import os
+
+    return os.path.join(
+        pretrained_dir, "snapshot/PointDSC_3DMatch_release/models/model_best.pkl")
+
+
 def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
     """(model, variables) for the pretrained PointDSC registration module
     (reference utils/pointdsc/init.py:32-57); random init when the snapshot
@@ -117,8 +126,7 @@ def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
 
     pd = PointDSC(PointDSCConfig())
-    snapshot = os.path.join(
-        pretrained_dir, "snapshot/PointDSC_3DMatch_release/models/model_best.pkl")
+    snapshot = pointdsc_snapshot_path(pretrained_dir)
     if os.path.exists(snapshot):
         pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
     else:

@@ -161,21 +161,33 @@ def main(argv):
 def run_validation(cfg, model, state, valid_ds, key, epoch):
     """Pose-metric validation pass (reference validation_step,
     pipeline.py:196-247), without VSD for speed."""
+    import os
+
     from oryon_tpu.data.loader import PrefetchLoader
     from oryon_tpu.eval.evaluator import BatchedEvaluator
     from oryon_tpu.ops.matching import MatchParams
     from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
-                                    build_pointdsc_solver, run_test_epoch)
+                                    build_pointdsc_solver,
+                                    pointdsc_snapshot_path, run_test_epoch)
 
     # validation uses the CONFIGURED solver so its pose metrics track test
-    # behavior (reference validation_step, pipeline.py:196-247)
+    # behavior (reference validation_step, pipeline.py:196-247) — except
+    # when the PointDSC snapshot is absent: routing validation through a
+    # RANDOM-INIT network would turn the pose curves into noise, so fall
+    # back to the parameter-free RANSAC solver and say so
+    solver = cfg.test.solver
     pointdsc = None
-    if cfg.test.solver == "pointdsc":
-        pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
-                                         cfg.test.n_corrs)
+    if solver == "pointdsc":
+        if os.path.exists(pointdsc_snapshot_path(cfg.pretrained.pointdsc)):
+            pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
+                                             cfg.test.n_corrs)
+        else:
+            print("WARNING: PointDSC snapshot absent; validating with RANSAC "
+                  "so pose metrics stay meaningful")
+            solver = "ransac"
     pcfg = PipelineConfig(
         mask_source="predicted", mask_threshold=cfg.test.mask_threshold,
-        solver=cfg.test.solver,
+        solver=solver,
         match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
                           dist_th=cfg.test.dist_th),
     )

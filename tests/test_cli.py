@@ -26,8 +26,28 @@ def test_load_config_override_coercions():
     assert cfg.dataset.img_size == (112, 112)
     cfg = load_config(None, ["test.add_description=wrong", "use_seed=false"])
     assert cfg.test.add_description == "wrong" and cfg.use_seed is False
+    # 'on'/'ON' must coerce True for bool keys (regression: the first fix
+    # stringified them, and _apply's bool branch then read 'on' as False)
+    cfg = load_config(None, ["compute_vsd=on", "use_seed=ON", "profiler=On"])
+    assert cfg.compute_vsd is True and cfg.use_seed is True and cfg.profiler is True
     with pytest.raises(KeyError):
         load_config(None, ["no.such.key=1"])
+
+
+def test_load_config_yaml_file_keeps_yaml11_words(tmp_path):
+    """The same YAML-1.1 disambiguation must hold for config FILES: an
+    unquoted 'add_description: yes' is the natural user spelling and must
+    reach the string-typed key as literal 'yes', not str(True)."""
+    from oryon_tpu.config import load_config
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text("test:\n  add_description: yes\nuse_seed: on\n"
+                 "compute_vsd: off\ndebug_valid: true\n")
+    cfg = load_config(str(p), [])
+    assert cfg.test.add_description == "yes"
+    assert cfg.use_seed is True
+    assert cfg.compute_vsd is False
+    assert cfg.debug_valid is True
 
 
 def test_run_test_cli(nocs_root, tmp_path, capsys):

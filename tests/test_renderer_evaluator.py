@@ -181,6 +181,56 @@ def test_evaluator_save_numpy_scalar_ids():
     assert d["cls_id"] == [2501]
 
 
+def test_footprint_guard_pred_overflow_degrades_not_crashes():
+    """A legitimate (non-zero, non-identity) predicted pose far closer to
+    the camera than the rasterizer depth bound must NOT crash the sweep:
+    its VSD recall is zeroed with a warning, other rows keep real values.
+    A GT-pose overflow is a configuration error and raises at the FIRST
+    batch (fail fast), not at flush after the whole sweep."""
+    from oryon_tpu.eval.evaluator import BatchedEvaluator
+
+    def build():
+        ev = BatchedEvaluator("t", compute_vsd=True)
+        ev.render_hw = HW
+        V, F = icosphere()
+        mesh = pad_mesh(V, F, max_edge=5.0)
+        pts = V[np.random.RandomState(0).choice(len(V), 150)]
+        sym_id = np.eye(3, 4, dtype=np.float32)[None]
+        ev.add_object_info({"a": ObjectInfo(pts, 60.0, sym_id, mesh)})
+        ev.init_test()
+        return ev, mesh
+
+    ev, mesh = build()
+    B = 3
+    gt = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    gt[:, 2, 3] = 0.4
+    pred = gt.copy()
+    pred[1, 2, 3] = 0.02   # 20 mm from the camera: 5 mm edges -> >100 px
+    pred[1, 0, 3] = 0.001  # keep it a "real" pose (not identity/zero)
+    from oryon_tpu.eval.renderer import render_depth
+    depth = np.asarray(render_depth(mesh, jnp.eye(3),
+                                    jnp.array([0, 0, 400.0]),
+                                    jnp.array(K), HW))
+    depths = np.tile(depth, (B, 1, 1))
+    cams = np.tile(K, (B, 1, 1))
+    iou = np.full(B, 0.8)
+    ev.register_test_batch(iou, iou, gt, pred, pred, ["a"] * B, cams, depths,
+                           [f"i{i}" for i in range(B)])
+    ev.get_means()              # no raise
+    assert ev.metrics["VSD"][1] == 0.0
+    assert ev.metrics["VSD"][0] > 0.9 and ev.metrics["VSD"][2] > 0.9
+    # non-VSD metrics untouched by the overflow handling
+    assert ev.metrics["MSSD"][0] > 0.9 and ev.metrics["MSSD"][2] > 0.9
+
+    # GT overflow -> raise at registration time (first batch), not flush
+    ev2, _ = build()
+    gt_bad = gt.copy()
+    gt_bad[0, 2, 3] = 0.02
+    with pytest.raises(RuntimeError, match="max_edge"):
+        ev2.register_test_batch(iou, iou, gt_bad, gt_bad, gt_bad, ["a"] * B,
+                                cams, depths, [f"i{i}" for i in range(B)])
+
+
 def test_csv_line_format():
     pose = np.arange(16, dtype=np.float32).reshape(4, 4)
     line = pred_pose_csv_line("s1 i1 obj", "s2 i2 obj", 0.5, 0.75, pose)

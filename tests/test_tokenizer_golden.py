@@ -95,3 +95,16 @@ def test_active_pattern_handles_underscore():
     assert tok.pat.findall("hello_world") == ["hello", "_", "world"]
     ids = tok.encode("hello_world")
     assert len(ids) > 0
+
+def test_encode_memo_is_mutation_safe():
+    """encode() is memoized; a caller mutating the returned list must not
+    poison the cache (the memo stores immutable tuples, returns fresh
+    lists)."""
+    tok = ClipTokenizer()
+    a = tok.encode("a photo of a drill")
+    want = list(a)
+    a.append(999999)          # caller-side mutation
+    b = tok.encode("a photo of a drill")   # memo hit
+    assert b == want
+    b[0] = -1
+    assert tok.encode("a photo of a drill") == want
