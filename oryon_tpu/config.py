@@ -135,6 +135,13 @@ class TrainingConfig:
     n_epochs: int = 20
     freq_save: int = 5
     freq_valid: int = 5
+    # host-RSS watchdog: the TPU relay backend leaks ~1 byte of host memory
+    # per H2D byte transferred (measured — BASELINE.md round 2), so any
+    # multi-hour run eventually OOMs the host.  When RSS crosses this bound
+    # at an epoch boundary, run_train checkpoints and re-execs itself with
+    # resume_ckpt=last (a few minutes of cache rewarm; no training state
+    # lost).  <= 0 disables.
+    rss_restart_gib: float = 64.0
 
 
 @dataclass
@@ -143,6 +150,10 @@ class RGBAugConfig:
     bright: bool = True
     hflip: bool = True
     vflip: bool = True
+    # run color/flip augs ON DEVICE inside the jitted train step (the
+    # 1-core host data path is the measured training bottleneck; see
+    # data/device_augment.py). Host-side stack kept for augs.rgb.device=false.
+    device: bool = True
 
 
 @dataclass

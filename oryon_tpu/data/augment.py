@@ -88,6 +88,13 @@ def resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
         # gather reproduces the input — skip the 4-gather blend (~4 ms per
         # 224x224x3 call; the loader hits this on pre-sized trees)
         return img
+    if img.dtype == np.uint8:
+        # u8 rgb hot path (rgb_u8 cache mode): C kernel, same half-pixel
+        # convention, rounds to nearest (half-up vs np.rint's banker's —
+        # <=1 LSB, pinned by test_native)
+        from oryon_tpu.utils import native
+        if native.available():
+            return native.resize_bilinear_u8(img, out_hw)
     ys = (np.arange(OH) + 0.5) * H / OH - 0.5
     xs = (np.arange(OW) + 0.5) * W / OW - 0.5
     y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
@@ -103,8 +110,13 @@ def resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     b = img[np.ix_(y0, x1)]
     c = img[np.ix_(y1, x0)]
     d = img[np.ix_(y1, x1)]
-    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
-            + c * wy * (1 - wx) + d * wy * wx).astype(img.dtype)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    if np.issubdtype(img.dtype, np.integer):
+        # round, don't truncate: keeps the uint8 fast path bit-aligned with
+        # the f32 resize-then-quantize wire format (collate *255 round-trip)
+        out = np.rint(out)
+    return out.astype(img.dtype)
 
 
 def resize_nearest(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
@@ -128,10 +140,14 @@ def augment_pair(
     item_q: Dict[str, np.ndarray],
     corrs: np.ndarray,          # [N, 4] float (y1, x1, y2, x2)
     cfg: AugmentConfig,
+    skip_depth: bool = False,
 ):
     """Applies the reference augmentation stack; items carry rgb [H,W,3] in
-    [0,1], mask [H,W], depth [H,W]."""
+    [0,1], mask [H,W], depth [H,W].  ``skip_depth`` leaves depth untouched —
+    the training collate never ships it (pair_batch.train_fields), so its
+    flips/resize would be pure 1-core-host waste."""
     corrs = corrs.astype(np.float64).copy()
+    geom_keys = ("rgb", "mask") if skip_depth else ("rgb", "mask", "depth")
 
     for side, item, sl in (("a", item_a, slice(0, 2)), ("q", item_q, slice(2, 4))):
         if cfg.jitter and rs.rand() < cfg.prob:
@@ -141,11 +157,11 @@ def augment_pair(
                                        contrast=0, saturation=0, hue=0)
         H, W = item["mask"].shape
         if cfg.hflip and rs.rand() < cfg.prob:
-            for k in ("rgb", "mask", "depth"):
+            for k in geom_keys:
                 item[k] = item[k][:, ::-1].copy()
             corrs[:, sl][:, 1] = W - corrs[:, sl][:, 1] - 1
         if cfg.vflip and rs.rand() < cfg.prob:
-            for k in ("rgb", "mask", "depth"):
+            for k in geom_keys:
                 item[k] = item[k][::-1].copy()
             corrs[:, sl][:, 0] = H - corrs[:, sl][:, 0] - 1
 
@@ -153,16 +169,18 @@ def augment_pair(
         H, W = item["mask"].shape
         item["rgb"] = resize_bilinear(item["rgb"], cfg.out_size)
         item["mask"] = resize_nearest(item["mask"], cfg.out_size)
-        item["depth"] = resize_bilinear(item["depth"].astype(np.float32), cfg.out_size)
+        if not skip_depth:
+            item["depth"] = resize_bilinear(item["depth"].astype(np.float32),
+                                            cfg.out_size)
         corrs[:, sl][:, 0] *= cfg.out_size[0] / H
         corrs[:, sl][:, 1] *= cfg.out_size[1] / W
 
     return item_a, item_q, corrs
 
 
-def resize_only(item_a, item_q, corrs, out_size):
+def resize_only(item_a, item_q, corrs, out_size, skip_depth: bool = False):
     """Eval-time preprocessing (reference build_test_preproc, datasets.py:90-96)."""
     cfg = AugmentConfig(jitter=False, bright=False, hflip=False, vflip=False,
                         out_size=out_size)
     rs = np.random.RandomState(0)
-    return augment_pair(rs, item_a, item_q, corrs, cfg)
+    return augment_pair(rs, item_a, item_q, corrs, cfg, skip_depth=skip_depth)

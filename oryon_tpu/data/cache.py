@@ -31,9 +31,16 @@ def _nbytes(v: Any) -> int:
 
 
 class CachedReader:
-    def __init__(self, reader, max_bytes: Optional[int] = 16 << 30):
+    def __init__(self, reader, max_bytes: Optional[int] = 16 << 30,
+                 rgb_u8: bool = False):
         self._reader = reader
         self._max_bytes = max_bytes
+        # rgb_u8=True returns cached rgb as uint8 instead of re-expanding to
+        # f32/255 on every hit (~2 MB of convert per view on the 1-core
+        # host).  Only valid when the downstream path never does host-side
+        # color math on rgb — i.e. device-side augmentations
+        # (data/device_augment.py); collate ships uint8 either way.
+        self._rgb_u8 = rgb_u8
         self._cache: "OrderedDict[tuple, Dict[str, Any]]" = OrderedDict()
         self._bytes = 0
         self.hits = 0
@@ -56,12 +63,11 @@ class CachedReader:
             stored[k] = ("raw", v)
         return stored
 
-    @staticmethod
-    def _unpack(stored: Dict[str, Any]) -> Dict[str, Any]:
+    def _unpack(self, stored: Dict[str, Any]) -> Dict[str, Any]:
         item = {}
         for k, (tag, v) in stored.items():
             if tag == "rgb_u8":
-                item[k] = v.astype(np.float32) / 255.0
+                item[k] = v.copy() if self._rgb_u8 else v.astype(np.float32) / 255.0
             elif isinstance(v, np.ndarray):
                 item[k] = v.copy()
             elif isinstance(v, list):

@@ -387,6 +387,7 @@ class PairDataset:
         self.mask_type = mask_type
         self.rs = np.random.RandomState(seed)
         self.n_prompts = n_prompts
+        self._prompt_id_cache: Dict[tuple, np.ndarray] = {}
 
         root = reader.root
         with open(join(root, "templates.json")) as f:
@@ -459,22 +460,30 @@ class PairDataset:
         prompts = [template.format(name) for template in self.templates]
         return prompts[: self.n_prompts - 1] if self.n_prompts else prompts
 
-    def get_pair(self, index: int) -> Dict:
+    def get_pair(self, index: int, train: bool = False) -> Dict:
+        """``train=True`` skips all depth handling (copies, flips, resize):
+        the training collate/step never reads it (pair_batch.train_fields)
+        and each skipped depth pass buys back 1-core-host budget."""
         scene_a, img_a, scene_q, img_q, cat_id, obj_name = self.instances[index]
         obj_key = obj_name if self.reader.name == "nocs" else int(cat_id)
         item_a = self.reader.get_item(scene_a, img_a, obj_key, mask_type=self.mask_type)
         item_q = self.reader.get_item(scene_q, img_q, obj_key, mask_type=self.mask_type)
         corrs = self.corrs[index].astype(np.float64)
 
-        orig_a = {"depth": item_a["depth"].copy(), "size": item_a["mask"].shape}
-        orig_q = {"depth": item_q["depth"].copy(), "size": item_q["mask"].shape}
+        if train:
+            orig_a = {"size": item_a["mask"].shape}
+            orig_q = {"size": item_q["mask"].shape}
+        else:
+            orig_a = {"depth": item_a["depth"].copy(), "size": item_a["mask"].shape}
+            orig_q = {"depth": item_q["depth"].copy(), "size": item_q["mask"].shape}
 
         if self.augment:
             item_a, item_q, corrs = augment_pair(self.rs, item_a, item_q,
-                                                 corrs, self.aug_cfg)
+                                                 corrs, self.aug_cfg,
+                                                 skip_depth=train)
         else:
             item_a, item_q, corrs = resize_only(item_a, item_q, corrs,
-                                                self.img_size)
+                                                self.img_size, skip_depth=train)
 
         sampled, corr_valid, any_valid = sample_correspondences(
             self.rs, np.round(corrs).astype(np.int64), self.max_corrs,
@@ -497,21 +506,34 @@ class PairDataset:
             "id_q": item_q["instance_id"],
         }
 
-    def collate(self, pairs: Sequence[Dict]) -> PairBatch:
+    def collate(self, pairs: Sequence[Dict], train: bool = False) -> PairBatch:
         import jax.numpy as jnp
 
         def view(side, orig):
             items = [p[side] for p in pairs]
             origs = [p[orig] for p in pairs]
+            rgb_h = np.stack([it["rgb"] for it in items])
+            if rgb_h.dtype != np.uint8:  # uint8 straight from CachedReader
+                rgb_h = np.clip(rgb_h * 255.0, 0, 255).astype(np.uint8)
+            rgb = jnp.array(rgb_h)
+            mask = jnp.array(np.stack(
+                [it["mask"] for it in items]).astype(np.uint8))
+            if train:
+                # the train step reads rgb/mask/corrs only — skip building
+                # AND transferring depth/camera/pose (~12 MB/step through
+                # the H2D tunnel for arrays the loss never touches; see
+                # pair_batch.train_fields)
+                return PairView(rgb=rgb, mask=mask, depth=None,
+                                orig_depth=None, eval_depth=None,
+                                camera=None, pose=None, size=None)
             # wire formats: uint8 rgb + uint16 depth (mm) cut host->device
             # bytes ~4x; eval_depth aliases orig_depth (they are clones at
             # load time, reference common.py:57-59) so it transfers once
             orig_depth = jnp.array(np.clip(np.stack(
                 [o["depth"] for o in origs]), 0, 65535).astype(np.uint16))
             return PairView(
-                rgb=jnp.array(np.clip(np.stack(
-                    [it["rgb"] for it in items]) * 255.0, 0, 255).astype(np.uint8)),
-                mask=jnp.array(np.stack([it["mask"] for it in items]).astype(np.uint8)),
+                rgb=rgb,
+                mask=mask,
                 depth=jnp.array(np.clip(np.stack(
                     [it["depth"] for it in items]), 0, 65535).astype(np.uint16)),
                 orig_depth=orig_depth,
@@ -522,7 +544,7 @@ class PairDataset:
                 size=jnp.array(np.stack([o["size"] for o in origs]).astype(np.int32)),
             )
 
-        prompt_ids = np.stack([self.tokenizer(p["prompts"]) for p in pairs])
+        prompt_ids = np.stack([self._tokenize_cached(p["prompts"]) for p in pairs])
         return PairBatch(
             anchor=view("item_a", "orig_a"),
             query=view("item_q", "orig_q"),
@@ -535,12 +557,27 @@ class PairDataset:
             # host-side: the eval loop reads it every batch (a device array
             # would cost a ~25 ms fetch); jit uploads it on demand for train
             valid=np.asarray([p["valid"] for p in pairs], np.float32),
-            rel_pose=jnp.array(np.stack([p["rel_pose"] for p in pairs]).astype(np.float32)),
+            rel_pose=None if train else jnp.array(np.stack(
+                [p["rel_pose"] for p in pairs]).astype(np.float32)),
             cls_id=np.asarray([p["cls_id"] for p in pairs]),
             instance_id=np.asarray([p["instance_id"] for p in pairs]),
             id_a=np.asarray([p["id_a"] for p in pairs]),
             id_q=np.asarray([p["id_q"] for p in pairs]),
         )
+
+    def _tokenize_cached(self, prompts: Sequence[str]) -> np.ndarray:
+        """BPE-tokenize a prompt list with memoization.  Training revisits
+        the same few dozen class/synset prompt sets every batch — re-running
+        the 80-template BPE loop per pair costs ~5-10 ms of the 1-core host
+        budget per pair (measured bottleneck, BASELINE.md round 2)."""
+        key = tuple(prompts)
+        ids = self._prompt_id_cache.get(key)
+        if ids is None:
+            ids = self.tokenizer(prompts)
+            ids.setflags(write=False)
+            if len(self._prompt_id_cache) < 4096:
+                self._prompt_id_cache[key] = ids
+        return ids
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 drop_last: bool = False, sort_by_class: bool = False):

@@ -30,9 +30,13 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 sort_by_class: bool = False, seed: int = None):
+                 sort_by_class: bool = False, seed: int = None,
+                 train: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        # train=True collates the training subset only (no depth/pose
+        # arrays built or transferred — datasets.collate / train_fields)
+        self.train = train
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -97,10 +101,11 @@ class PrefetchLoader:
                 for idx, n_real in batches:
                     if stop.is_set():
                         return
-                    pairs = [self.dataset.get_pair(int(i)) for i in idx]
+                    pairs = [self.dataset.get_pair(int(i), train=self.train)
+                             for i in idx]
                     for p in pairs[n_real:]:
                         p["valid"] = 0.0   # final-batch pads (== batches())
-                    out_q.put(self.dataset.collate(pairs))
+                    out_q.put(self.dataset.collate(pairs, train=self.train))
             finally:
                 out_q.put(None)
 

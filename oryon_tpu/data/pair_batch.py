@@ -55,3 +55,23 @@ class PairBatch(NamedTuple):
 def device_fields(batch: PairBatch):
     """The jax-traced subset (drops host-side id arrays)."""
     return batch._replace(cls_id=None, instance_id=None, id_a=None, id_q=None)
+
+
+def _train_view(v: PairView) -> PairView:
+    return v._replace(depth=None, orig_depth=None, eval_depth=None,
+                      camera=None, pose=None, size=None)
+
+
+def train_fields(batch: PairBatch) -> PairBatch:
+    """The TRAINING subset: what the train step actually reads (rgb, mask,
+    corrs + validity, prompts/text_emb).  Depth/camera/pose/rel_pose are
+    pose-evaluation concerns — shipping them host->device every step costs
+    ~12 MB/step through the transfer tunnel (~100 ms/step on this relay)
+    for arrays the loss never touches.  prompt_ids are dropped too when a
+    text_emb cache entry is present (the model ignores them then)."""
+    b = device_fields(batch)._replace(
+        anchor=_train_view(batch.anchor), query=_train_view(batch.query),
+        rel_pose=None)
+    if b.text_emb is not None:
+        b = b._replace(prompt_ids=None)
+    return b

@@ -145,8 +145,18 @@ def loss_and_metrics(model, loss_cfg, params, batch: PairBatch, key):
     return lo.total, metrics
 
 
-def train_step(state: TrainState, batch: PairBatch, key: jax.Array):
-    """One optimization step; jit with donate_argnums=(0,) at call sites."""
+def train_step(state: TrainState, batch: PairBatch, key: jax.Array,
+               aug_cfg=None):
+    """One optimization step; jit with donate_argnums=(0,) at call sites.
+
+    ``aug_cfg`` (static, a data.device_augment.DeviceAugConfig or None)
+    applies the color/flip augmentation stack ON DEVICE before the forward —
+    fused into this program, so it adds no launches and no host work (the
+    1-core host is the measured training bottleneck; BASELINE.md round 2).
+    """
+    if aug_cfg is not None:
+        from oryon_tpu.data.device_augment import device_augment
+        batch = device_augment(batch, jax.random.fold_in(key, 0x0a), aug_cfg)
 
     def lf(p):
         return loss_and_metrics(state.model, state.loss_cfg, p, batch, key)
@@ -159,10 +169,11 @@ def train_step(state: TrainState, batch: PairBatch, key: jax.Array):
     return new_state, metrics
 
 
-def jit_train_step(donate: bool = True):
-    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+def jit_train_step(donate: bool = True, aug_cfg=None):
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                     static_argnames=("aug_cfg",))
 
     def run(state: TrainState, batch: PairBatch, key: jax.Array):
-        return jitted(state, device_fields(batch), key)
+        return jitted(state, device_fields(batch), key, aug_cfg)
 
     return run

@@ -14,6 +14,26 @@ from __future__ import annotations
 import sys
 
 
+def _rss_gib() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 2 ** 20
+    return 0.0
+
+
+def _reexec_resume(argv):
+    """Re-exec this training run with resume_ckpt=last (host-RSS watchdog:
+    the relay backend leaks host memory 1:1 with H2D bytes — measured,
+    BASELINE.md round 2 — so long runs must recycle the process)."""
+    import os
+    args = [a for a in argv if not a.startswith("resume_ckpt")]
+    args.append("resume_ckpt=last")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, sys.argv[0]] + args)
+
+
 def main(argv):
     overrides = [a for a in argv if "=" in a]
     cfg_path = next((a.split("=", 1)[1] for a in argv if a.startswith("--config=")), None)
@@ -43,17 +63,41 @@ def main(argv):
     root = os.path.join(cfg.dataset.root, cfg.dataset.train.name)
     tokenizer = ClipTokenizer(cfg.pretrained.vocabulary)
 
-    def wrap_cache(reader):
+    def wrap_cache(reader, rgb_u8: bool = False):
         if cfg.dataset.cache_gib <= 0:
             return reader
         from oryon_tpu.data.cache import CachedReader
-        return CachedReader(reader, max_bytes=int(cfg.dataset.cache_gib * 2**30))
+        return CachedReader(reader, max_bytes=int(cfg.dataset.cache_gib * 2**30),
+                            rgb_u8=rgb_u8)
+
+    # color/flip augs run on device by default (augs.rgb.device — the 1-core
+    # host data path is the measured bottleneck; data/device_augment.py).
+    # The dataset keeps augment=True either way: synset prompt augmentation
+    # and corr sampling are host concerns; with device augs on, the host
+    # color/flip stack is disabled via an all-off AugmentConfig.
+    from oryon_tpu.data.augment import AugmentConfig
+    rgb_augs = cfg.augs.rgb
+    on_device = bool(getattr(rgb_augs, "device", False))
+    host_aug_cfg = AugmentConfig(
+        jitter=rgb_augs.jitter and not on_device,
+        bright=rgb_augs.bright and not on_device,
+        hflip=rgb_augs.hflip and not on_device,
+        vflip=rgb_augs.vflip and not on_device,
+        out_size=tuple(cfg.dataset.img_size),
+    )
+    device_aug_cfg = None
+    if on_device:
+        from oryon_tpu.data.device_augment import DeviceAugConfig
+        device_aug_cfg = DeviceAugConfig(
+            jitter=rgb_augs.jitter, bright=rgb_augs.bright,
+            hflip=rgb_augs.hflip, vflip=rgb_augs.vflip)
 
     train_ds = PairDataset(
-        wrap_cache(pick_reader(cfg.dataset.train.name)(root)),
+        wrap_cache(pick_reader(cfg.dataset.train.name)(root), rgb_u8=on_device),
         cfg.dataset.train.split,
         tokenizer, max_corrs=cfg.dataset.max_corrs,
         img_size=cfg.dataset.img_size, augment=True,
+        aug_cfg=host_aug_cfg,
         synset_aug=cfg.augs.text.synset, mask_type="oracle",
         seed=cfg.seed if cfg.use_seed else 0,
         obj_split=str(cfg.dataset.train.obj),
@@ -101,7 +145,10 @@ def main(argv):
         from oryon_tpu.parallel.tp import shard_params_tp
         state = state.replace(params=shard_params_tp(state.params, mesh))
         print(f"tensor-parallel params over model axis = {cfg.mesh.model}")
-    step_fn = jit_train_step(donate=True)
+    step_fn = jit_train_step(donate=True, aug_cfg=device_aug_cfg)
+    if device_aug_cfg is not None:
+        print("augmentations: on-device (color jitter + flips fused into "
+              "the train step)")
 
     # validation dataset (pose eval every freq_valid epochs,
     # reference config training.freq_valid + validation_step)
@@ -119,7 +166,7 @@ def main(argv):
                 img_size=cfg.dataset.img_size, augment=False,
                 mask_type="oracle")
 
-    from oryon_tpu.data.pair_batch import device_fields
+    from oryon_tpu.data.pair_batch import train_fields
 
     # frozen-text-tower embedding cache: identical numerics, removes the
     # ~40% of the step spent re-encoding recurring prompt sets (traced)
@@ -132,13 +179,14 @@ def main(argv):
     from oryon_tpu.data.loader import PrefetchLoader
     train_loader = PrefetchLoader(
         train_ds, cfg.dataset.batch_size, shuffle=True, drop_last=True,
-        process_index=jax.process_index(), process_count=jax.process_count())
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        train=True)
 
     for epoch in range(start_epoch, cfg.training.n_epochs):
         for bi, batch in enumerate(train_loader):
             key, sub = jax.random.split(key)
             batch = batch._replace(text_emb=text_cache(batch.prompt_ids))
-            batch = shard_batch(device_fields(batch), mesh)
+            batch = shard_batch(train_fields(batch), mesh)
             state, metrics = step_fn(state, batch, sub)
             if bi % 10 == 0:
                 logger.log_step(int(state.step), metrics, prefix="train")
@@ -150,11 +198,22 @@ def main(argv):
                         f"non-finite loss at step {int(state.step)}")
         means = logger.epoch_summary(epoch)
         print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+        saved = False
         if (epoch + 1) % cfg.training.freq_save == 0 or epoch == cfg.training.n_epochs - 1:
             path = save_checkpoint(cfg, epoch, state)
+            saved = True
             print(f"saved {path}")
         if valid_ds is not None and (epoch + 1) % cfg.training.freq_valid == 0:
             run_validation(cfg, model, state, valid_ds, key, epoch)
+        rss_cap = float(getattr(cfg.training, "rss_restart_gib", 0) or 0)
+        if (rss_cap > 0 and epoch < cfg.training.n_epochs - 1
+                and _rss_gib() > rss_cap):
+            if not saved:
+                print(f"saved {save_checkpoint(cfg, epoch, state)}")
+            print(f"host RSS {_rss_gib():.1f} GiB > {rss_cap} GiB "
+                  "(relay H2D leak) — re-exec + resume")
+            logger.close()
+            _reexec_resume(argv)
     logger.close()
 
 

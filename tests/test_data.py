@@ -507,3 +507,69 @@ def test_toyl_reader_item_and_intrinsics(toyl_root):
     assert item["mask"].sum() == 400
     assert item["pose"][2, 3] == pytest.approx(0.8)  # mm -> m
     assert item["cls_name"] == "duck"
+
+
+def test_train_collate_and_u8_cache(nocs_root):
+    """train=True collate skips eval-only fields (no H2D for depth/pose);
+    rgb_u8 CachedReader feeds collate uint8 with identical wire bytes; the
+    prompt-id cache memoizes BPE."""
+    from oryon_tpu.data.cache import CachedReader
+    from oryon_tpu.data.loader import PrefetchLoader
+    from oryon_tpu.data.pair_batch import train_fields
+
+    tok = ClipTokenizer()
+    mk = lambda r: PairDataset(r, "test_split", tok, max_corrs=16,
+                               img_size=(56, 56), n_prompts=3)
+    ds_f32 = mk(NocsReader(nocs_root))
+    ds_u8 = mk(CachedReader(NocsReader(nocs_root), rgb_u8=True))
+
+    pairs_f = [ds_f32.get_pair(i) for i in (0, 1)]
+    full = ds_f32.collate(pairs_f)
+    tr = ds_f32.collate(pairs_f, train=True)
+    for v in (tr.anchor, tr.query):
+        assert v.depth is None and v.orig_depth is None and v.eval_depth is None
+        assert v.camera is None and v.pose is None and v.size is None
+    assert tr.rel_pose is None
+    np.testing.assert_array_equal(np.asarray(tr.anchor.rgb),
+                                  np.asarray(full.anchor.rgb))
+    np.testing.assert_array_equal(np.asarray(tr.corrs), np.asarray(full.corrs))
+
+    # u8 cache path: on a tree that needs a host resize the u8 bilinear may
+    # land within 1 LSB of the f32-resize-then-quantize wire bytes (fp
+    # rounding at quantization boundaries); pre-sized production trees hit
+    # the identity-resize path and are exact (checked below).
+    # (warm the cache first so the u8 fast path is exercised on the hit)
+    [ds_u8.get_pair(i) for i in (0, 1)]
+    pairs_u = [ds_u8.get_pair(i) for i in (0, 1)]
+    assert pairs_u[0]["item_a"]["rgb"].dtype == np.uint8
+    tr_u = ds_u8.collate(pairs_u, train=True)
+    diff = (np.asarray(tr_u.anchor.rgb).astype(np.int16)
+            - np.asarray(tr.anchor.rgb).astype(np.int16))
+    assert np.abs(diff).max() <= 1
+
+    # pre-sized (identity-resize) path: bit-exact u8 round-trip
+    mk60 = lambda r: PairDataset(r, "test_split", tok, max_corrs=16,
+                                 img_size=(60, 80), n_prompts=3)
+    ds60_f = mk60(NocsReader(nocs_root))
+    ds60_u = mk60(CachedReader(NocsReader(nocs_root), rgb_u8=True))
+    [ds60_u.get_pair(i) for i in (0, 1)]
+    b_f = ds60_f.collate([ds60_f.get_pair(i) for i in (0, 1)], train=True)
+    b_u = ds60_u.collate([ds60_u.get_pair(i) for i in (0, 1)], train=True)
+    np.testing.assert_array_equal(np.asarray(b_u.anchor.rgb),
+                                  np.asarray(b_f.anchor.rgb))
+
+    # prompt-id cache: second collate of the same prompts hits the memo
+    n0 = len(ds_f32._prompt_id_cache)
+    assert n0 >= 1
+    ds_f32.collate(pairs_f)
+    assert len(ds_f32._prompt_id_cache) == n0
+
+    # train_fields drops prompt_ids only once text_emb is present
+    tf = train_fields(tr)
+    assert tf.prompt_ids is not None and tf.cls_id is None
+    tf2 = train_fields(tr._replace(text_emb=np.zeros((2, 3, 8), np.float32)))
+    assert tf2.prompt_ids is None and tf2.text_emb is not None
+
+    # PrefetchLoader(train=True) emits train-collated batches
+    lb = next(iter(PrefetchLoader(ds_u8, 2, train=True)))
+    assert lb.anchor.depth is None and lb.rel_pose is None
