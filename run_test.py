@@ -76,15 +76,27 @@ def main(argv):
                 f"found under the experiment's models dir")
         print(f"loaded checkpoint epoch {epoch}")
 
+    # honor the configured solver — but a MISSING PointDSC snapshot would
+    # mean solving poses with a random-init network (pure noise); fall back
+    # to the parameter-free RANSAC solver with a loud warning instead, the
+    # same policy as run_train.run_validation (the reference would have
+    # crashed on the missing file, utils/pointdsc/init.py:32-57)
+    solver = cfg.test.solver
     pointdsc = None
-    if cfg.test.solver == "pointdsc":
-        from oryon_tpu.pipeline import build_pointdsc_solver
-        pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
-                                         cfg.dataset.max_corrs)
+    if solver == "pointdsc":
+        from oryon_tpu.pipeline import (build_pointdsc_solver,
+                                        pointdsc_snapshot_path)
+        if os.path.exists(pointdsc_snapshot_path(cfg.pretrained.pointdsc)):
+            pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
+                                             cfg.dataset.max_corrs)
+        else:
+            print("WARNING: PointDSC snapshot absent; evaluating with RANSAC "
+                  "so pose metrics stay meaningful")
+            solver = "ransac"
 
     pcfg = PipelineConfig(
         mask_source=cfg.test.mask, mask_threshold=cfg.test.mask_threshold,
-        solver=cfg.test.solver,
+        solver=solver,
         match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
                           dist_th=cfg.test.dist_th),
     )
