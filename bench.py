@@ -68,8 +68,8 @@ def main() -> None:
     encode_text = jax.jit(lambda p, i: model.apply(p, i, method=model.encode_prompts))
 
     def pipeline(params, pd_vars, key, rgb_a, rgb_q, text_emb, depth_a,
-                 depth_q, camera, solver: str):
-        out = model.apply(params, rgb_a, rgb_q, None, text_emb)
+                 depth_q, camera, solver: str, mdl):
+        out = mdl.apply(params, rgb_a, rgb_q, None, text_emb)
         mask_a = (jax.nn.sigmoid(out.mask_a) > 0.5).astype(jnp.uint8)
         mask_q = (jax.nn.sigmoid(out.mask_q) > 0.5).astype(jnp.uint8)
         corrs = nn_correspondences_batch(out.featmap_a, out.featmap_q,
@@ -101,22 +101,26 @@ def main() -> None:
         # before the computation runs; a host copy is the reliable barrier
         return float(np.asarray(out[0]).sum())
 
-    run = jax.jit(pipeline, static_argnames=("solver",))
+    run = jax.jit(pipeline, static_argnames=("solver", "mdl"))
     key = jax.random.PRNGKey(0)
     text_emb = encode_text(params, ids)
 
-    def measure(solver: str, iters: int = 10) -> float:
+    def measure(solver: str, iters: int = 10, mdl=None) -> float:
+        mdl = mdl or model
         sync(run(params, pd_vars, key, rgb_a, rgb_q, text_emb, depth_a,
-                 depth_q, camera, solver))
+                 depth_q, camera, solver, mdl))
         t0 = time.perf_counter()
         for i in range(iters):
             out = run(params, pd_vars, jax.random.PRNGKey(i), rgb_a, rgb_q,
-                      text_emb, depth_a, depth_q, camera, solver)
+                      text_emb, depth_a, depth_q, camera, solver, mdl)
         sync(out)
         return B * iters / (time.perf_counter() - t0)
 
     protocol = measure("pointdsc")      # reference test-time default
     ransac = measure("ransac")
+    # int8 tower variant (models/quant.py): same params, opt-in capability
+    # number — NOT the headline until real-checkpoint accuracy is validated
+    int8 = measure("pointdsc", mdl=full_oryon(quant="int8"))
 
     global _PRINTED
     print(json.dumps({
@@ -126,6 +130,7 @@ def main() -> None:
         "vs_baseline": round(protocol / REFERENCE_PROXY_PAIRS_PER_SEC, 2),
         "solver": "pointdsc",
         "ransac_variant": round(ransac, 3),
+        "int8_tower_variant": round(int8, 3),
     }))
     _PRINTED = True
 

@@ -28,6 +28,11 @@ class ClipVisionConfig:
     # "fused" = lane-packed Pallas MHA (ops/pallas/mha_lanes.py): cuts the
     # 24-layer tower 55.5 -> 46.3 ms/call on v5e (traced) vs the einsum path
     attn_impl: str = "fused"  # einsum | flash | fused | auto (see MultiHeadAttention)
+    # "int8": QKV/out/MLP projections run s8xs8->s32 on the MXU (1.83x the
+    # bf16 matmul rate, measured — models/quant.py). Opt-in: random-weight
+    # error is pinned by tests; REAL-checkpoint accuracy still unvalidated
+    # (assets absent in-sandbox), so the default stays bf16.
+    quant: str = "none"  # none | int8
 
     @property
     def grid(self) -> int:
@@ -46,6 +51,14 @@ class ClipTextConfig:
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _dense_cls(quant: str):
+    """nn.Dense or its int8 drop-in (same param tree — models/quant.py)."""
+    if quant == "int8":
+        from oryon_tpu.models.quant import QuantDense
+        return QuantDense
+    return nn.Dense
 
 
 class MultiHeadAttention(nn.Module):
@@ -75,13 +88,15 @@ class MultiHeadAttention(nn.Module):
     heads: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, L, D = x.shape
         hd = D // self.heads
-        in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
+        Dense = _dense_cls(self.quant)
+        in_proj = Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
         if self.attn_impl == "fused":
             # lane-packed fused kernel: consumes the packed [B, L, 3C]
             # in_proj output directly — no q/k/v split, no head-split
@@ -96,7 +111,7 @@ class MultiHeadAttention(nn.Module):
             else:
                 kmask = jnp.zeros((L,), jnp.float32)
             out = fused_mha_lanes_qkv(in_proj, kmask, self.heads, hd ** -0.5)
-            return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+            return Dense(D, dtype=self.dtype, name="out_proj")(out)
         q, k, v = jnp.split(in_proj, 3, axis=-1)
         q = q.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
@@ -120,7 +135,7 @@ class MultiHeadAttention(nn.Module):
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             out = jnp.einsum("bhlm,bhmd->bhld", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-        return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+        return Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -128,17 +143,20 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        Dense = _dense_cls(self.quant)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
-                                   self.attn_impl, name="attn")(y, mask, seg)
+                                   self.attn_impl, self.quant,
+                                   name="attn")(y, mask, seg)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
-        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
+        h = Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
         h = quick_gelu(h)
-        x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
+        x = x + Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
         return x
 
 
@@ -149,16 +167,18 @@ class _ScanBlock(nn.Module):
     heads: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask, seg) -> tuple:
         x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
-                                   self.attn_impl, name="block")(x, mask, seg)
+                                   self.attn_impl, self.quant,
+                                   name="block")(x, mask, seg)
         return x, None
 
 
 def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
-                attn_impl: str = "auto", seg=None):
+                attn_impl: str = "auto", seg=None, quant: str = "none"):
     """Transformer stack: nn.scan over one compiled block (compile time and
     HLO size ~layers-times smaller than unrolling — critical for the 24-layer
     ViT-L under slow remote compilation) or the unrolled fallback."""
@@ -170,11 +190,11 @@ def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
             in_axes=(nn.broadcast, nn.broadcast),
             length=layers,
         )
-        x, _ = Blocks(width, heads, dtype, attn_impl,
+        x, _ = Blocks(width, heads, dtype, attn_impl, quant,
                       name="resblocks")(x, mask, seg)
         return x
     for i in range(layers):
-        x = ResidualAttentionBlock(width, heads, dtype, attn_impl,
+        x = ResidualAttentionBlock(width, heads, dtype, attn_impl, quant,
                                    name=f"resblock_{i}")(x, mask, seg)
     return x
 
@@ -216,7 +236,7 @@ class ClipVisionTower(nn.Module):
                 [jnp.ones((B, L), jnp.int32),
                  jnp.zeros((B, Lp - L), jnp.int32)], axis=-1)
         x = _run_blocks(x, None, c.width, c.heads, c.layers, self.dtype,
-                        self.scan_layers, c.attn_impl, seg=seg)
+                        self.scan_layers, c.attn_impl, seg=seg, quant=c.quant)
         toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:L, :])
         return toks.reshape(B, c.grid, c.grid, c.width).astype(jnp.float32)
 

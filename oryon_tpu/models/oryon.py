@@ -120,10 +120,13 @@ class OryonModel(nn.Module):
         )
 
 
-def full_oryon(dtype: Any = jnp.bfloat16) -> OryonModel:
+def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none") -> OryonModel:
     """Production configuration (reference configs/config.yaml:31-39):
-    ViT-L/14@336, Swin-B@384, 192² x 32-ch output."""
-    return OryonModel(dtype=dtype)
+    ViT-L/14@336, Swin-B@384, 192² x 32-ch output.
+
+    quant="int8" runs the CLIP vision projections on the int8 MXU path
+    (models/quant.py — 1.83x the bf16 matmul rate, opt-in)."""
+    return OryonModel(vision_cfg=ClipVisionConfig(quant=quant), dtype=dtype)
 
 
 MODEL_FACTORIES = {"full": full_oryon}  # extended below

@@ -1,0 +1,80 @@
+"""Opt-in int8 matmuls for the frozen towers (s8 x s8 -> s32 on the MXU).
+
+Measured on the target v5e chip: an 8192^3 int8 matmul runs 1.83x faster
+than bf16 (307 vs 168 T(op|flop)/s — /tmp-probe recorded in BASELINE.md
+round 2).  The frozen CLIP forward is ~50% of the production train step
+and ~60% of e2e inference device time, almost all of it in the QKV / out
+/ MLP projections — exactly the matmuls quantized here.
+
+Scheme (standard symmetric PTQ):
+  * weights: per-OUTPUT-CHANNEL absmax scales, quantized ON THE FLY from
+    the exact same f32 params the bf16 path uses — the parameter tree,
+    checkpoints, and converters are untouched, and the per-step quantize
+    pass costs ~2 ms of HBM traffic at ViT-L scale vs ~35 ms of matmul
+    savings;
+  * activations: per-TOKEN (last-axis) dynamic absmax scales — robust to
+    the token-magnitude spread of transformer activations;
+  * accumulation in int32, dequantized as a_scale * w_scale (rank-1 outer
+    product), bias added in f32.
+
+This is a DELIBERATELY opt-in path (`ClipVisionConfig.quant="int8"`):
+random-weight quantization error is pinned by tests (tower cosine vs the
+bf16 path), but accuracy on the real CLIP checkpoints must be validated
+once the assets exist (zero egress in this sandbox — BASELINE.md).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def int8_quantize(x: jnp.ndarray, axis) -> tuple:
+    """Symmetric absmax quantization along ``axis`` (kept dims).
+    Returns (int8 values, f32 scale) with x ~= values * scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def int8_dense(x: jnp.ndarray, kernel: jnp.ndarray,
+               bias: Optional[jnp.ndarray], dtype: Any = jnp.bfloat16):
+    """x @ kernel + bias with int8 MXU accumulation.
+
+    x [..., in] (any float dtype), kernel [in, out] f32.  Per-token
+    activation scales, per-out-channel weight scales.
+    """
+    w8, w_scale = int8_quantize(kernel, axis=0)          # [in,out], [1,out]
+    x8, a_scale = int8_quantize(x, axis=-1)              # [...,in], [...,1]
+    acc = jax.lax.dot_general(
+        x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (a_scale * w_scale.reshape(
+        (1,) * (acc.ndim - 1) + (-1,)))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense replacement running int8_dense.
+
+    Parameter names/shapes/dtypes/inits are IDENTICAL to nn.Dense (f32
+    "kernel"/"bias", lecun_normal/zeros), so swapping the module leaves
+    the checkpoint layout, converters, and init unchanged.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return int8_dense(x, kernel, bias, dtype=self.dtype)

@@ -54,6 +54,11 @@ def main() -> None:
         i = args.index("--hlo")
         hlo = open(args[i + 1]).read()
         del args[i:i + 2]
+    top_n = 30
+    if "--top" in args:
+        i = args.index("--top")
+        top_n = int(args[i + 1])
+        del args[i:i + 2]
     trace_dir = args[0]
 
     top = collections.Counter()
@@ -74,7 +79,7 @@ def main() -> None:
 
     print(f"total device op time (excl. while wrappers): "
           f"{tot / (1000 * iters):.2f} ms/iter")
-    for name, dur in top.most_common(30):
+    for name, dur in top.most_common(top_n):
         print(f"{dur / (1000 * iters):9.3f} ms  x{cnt[name] // iters:<5} "
               f"{name[:42]:42}{opname(name)}")
 
