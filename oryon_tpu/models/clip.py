@@ -55,10 +55,8 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def _dense_cls(quant: str):
     """nn.Dense or its int8 drop-in (same param tree — models/quant.py)."""
-    if quant == "int8":
-        from oryon_tpu.models.quant import QuantDense
-        return QuantDense
-    return nn.Dense
+    from oryon_tpu.models.quant import dense_cls
+    return dense_cls(quant)
 
 
 class MultiHeadAttention(nn.Module):

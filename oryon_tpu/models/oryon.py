@@ -125,7 +125,11 @@ def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none") -> OryonModel:
     ViT-L/14@336, Swin-B@384, 192² x 32-ch output.
 
     quant="int8" runs the CLIP vision projections on the int8 MXU path
-    (models/quant.py — 1.83x the bf16 matmul rate, opt-in)."""
+    (models/quant.py — 1.83x the bf16 matmul rate, opt-in).  The Swin
+    guidance tower deliberately stays bf16: int8 REGRESSES it 16.4 ->
+    18.8 ms/16 imgs (measured) — its 49-token window matmuls are too
+    small to amortize the quantize/dequantize passes.  SwinConfig.quant
+    remains available for future larger-window configs."""
     return OryonModel(vision_cfg=ClipVisionConfig(quant=quant), dtype=dtype)
 
 

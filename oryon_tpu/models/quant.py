@@ -59,6 +59,11 @@ def int8_dense(x: jnp.ndarray, kernel: jnp.ndarray,
     return out.astype(dtype)
 
 
+def dense_cls(quant: str):
+    """nn.Dense or its int8 drop-in, by config string."""
+    return QuantDense if quant == "int8" else nn.Dense
+
+
 class QuantDense(nn.Module):
     """Drop-in nn.Dense replacement running int8_dense.
 

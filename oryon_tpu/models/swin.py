@@ -40,6 +40,9 @@ class SwinConfig:
     # outputs are bit-identical while 2 pad + 2 crop HBM relayouts per
     # stage disappear (pinned by test_swin_stage_pad_equivalence)
     stage_pad: bool = False
+    # "int8": qkv/proj/MLP/reduction projections on the int8 MXU path
+    # (models/quant.py; same opt-in caveats as ClipVisionConfig.quant)
+    quant: str = "none"
 
 
 def relative_position_index(window: int) -> np.ndarray:
@@ -85,6 +88,7 @@ class WindowAttention(nn.Module):
     window: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "einsum"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None,
@@ -94,6 +98,8 @@ class WindowAttention(nn.Module):
         mask: [num_windows, w*w, w*w] or None;
         nw: windows per image (needed by the pallas/band paths when mask
         is None)."""
+        from oryon_tpu.models.quant import dense_cls
+        Dense = dense_cls(self.quant)
         if self.attn_impl == "band":
             # fused-layout kernel: window partition/reverse never touch HBM
             # (ops/pallas/swin_attn.py band_window_attention)
@@ -101,7 +107,7 @@ class WindowAttention(nn.Module):
             B, Hp, Wp, C = x.shape
             N = self.window * self.window
             hd = C // self.heads
-            qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+            qkv = Dense(3 * C, dtype=self.dtype, name="qkv")(x)
             table = self.param("relative_position_bias_table",
                                nn.initializers.normal(0.02),
                                ((2 * self.window - 1) ** 2, self.heads),
@@ -115,16 +121,16 @@ class WindowAttention(nn.Module):
                 comb = comb + mask[:, None]
             out = band_window_attention(qkv, comb, self.heads, self.window,
                                         hd ** -0.5)
-            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            return Dense(C, dtype=self.dtype, name="proj")(out)
 
         Bw, N, C = x.shape
         hd = C // self.heads
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.attn_impl == "noattn":
             # diagnostic floor (scripts/profile_clip.py): skip score/value
             # matmuls + softmax entirely — NOT a valid attention
-            return nn.Dense(C, dtype=self.dtype, name="proj")(v + 0.0 * q)
+            return Dense(C, dtype=self.dtype, name="proj")(v + 0.0 * q)
 
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
@@ -145,7 +151,7 @@ class WindowAttention(nn.Module):
                         if nw_ % p == 0 and p * N <= 512)
             out = packed_window_attention(q, k, v, comb, self.heads, pack,
                                           hd ** -0.5)
-            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            return Dense(C, dtype=self.dtype, name="proj")(out)
 
         q = q.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(Bw, N, self.heads, hd).transpose(0, 2, 1, 3)
@@ -160,7 +166,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(Bw, self.heads, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(Bw, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return Dense(C, dtype=self.dtype, name="proj")(out)
 
 
 class SwinBlock(nn.Module):
@@ -171,6 +177,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "einsum"
+    quant: str = "none"
     # real (unpadded) map size when the caller keeps the stage at padded
     # resolution (SwinConfig.stage_pad); None = pad/crop per block
     real_hw: "tuple[int, int] | None" = None
@@ -209,12 +216,12 @@ class SwinBlock(nn.Module):
             # map-level attention: the kernel does the window partition in
             # VMEM, so no [Bw, N, C] tensors ever exist in HBM
             x = WindowAttention(self.dim, self.heads, w, self.dtype,
-                                self.attn_impl, name="attn")(
+                                self.attn_impl, self.quant, name="attn")(
                                     x, mask, nw=(Hp // w) * (Wp // w))
         else:
             wins = _window_partition(x, w)
             wins = WindowAttention(self.dim, self.heads, w, self.dtype,
-                                   self.attn_impl, name="attn")(
+                                   self.attn_impl, self.quant, name="attn")(
                                        wins, mask, nw=(Hp // w) * (Wp // w))
             x = _window_reverse(wins, w, B, Hp, Wp)
         if shift > 0:
@@ -223,10 +230,12 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W]
         x = shortcut + x
 
+        from oryon_tpu.models.quant import dense_cls
+        Dense = dense_cls(self.quant)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        h = Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
+        h = Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
         # NOTE (traced): the fc2 kOutput fusion carries the next block's
         # pad/roll/window-partition relayout (1.21 vs 0.22 ms for the
         # identical-FLOPs fc1). An optimization_barrier here does NOT help —
@@ -237,6 +246,7 @@ class SwinBlock(nn.Module):
 class PatchMerging(nn.Module):
     dim: int  # input channel count C; output is 2C
     dtype: Any = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -248,7 +258,9 @@ class PatchMerging(nn.Module):
             axis=-1,
         )
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
-        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        from oryon_tpu.models.quant import dense_cls
+        return dense_cls(self.quant)(2 * C, use_bias=False, dtype=self.dtype,
+                                     name="reduction")(x)
 
 
 class SwinGuidance(nn.Module):
@@ -277,7 +289,8 @@ class SwinGuidance(nn.Module):
                 x = SwinBlock(dim, heads, c.window,
                               shift=0 if i % 2 == 0 else c.window // 2,
                               mlp_ratio=c.mlp_ratio, dtype=self.dtype,
-                              attn_impl=c.attn_impl, real_hw=real_hw,
+                              attn_impl=c.attn_impl, quant=c.quant,
+                              real_hw=real_hw,
                               name=f"{prefix}_block{i}")(x)
             if real_hw is not None:
                 x = x[:, :real_hw[0], :real_hw[1]]
@@ -286,11 +299,11 @@ class SwinGuidance(nn.Module):
         x = run_stage(x, c.depths[0], c.embed_dim, c.heads[0], "stage1")
         g3 = x.astype(jnp.float32)                                 # [96, 96, 128]
 
-        x = PatchMerging(c.embed_dim, self.dtype, name="merge1")(x)
+        x = PatchMerging(c.embed_dim, self.dtype, quant=c.quant, name="merge1")(x)
         g2 = x.astype(jnp.float32)                                 # [48, 48, 256]
 
         x = run_stage(x, c.depths[1], 2 * c.embed_dim, c.heads[1], "stage2")
 
-        x = PatchMerging(2 * c.embed_dim, self.dtype, name="merge2")(x)
+        x = PatchMerging(2 * c.embed_dim, self.dtype, quant=c.quant, name="merge2")(x)
         g1 = x.astype(jnp.float32)                                 # [24, 24, 512]
         return [g1, g2, g3]

@@ -79,3 +79,20 @@ def test_full_factory_quant_plumb():
     assert m.vision_cfg.quant == "int8"
     m2 = full_oryon()
     assert m2.vision_cfg.quant == "none"
+
+
+def test_swin_tower_int8_matches_bf16():
+    from oryon_tpu.models.swin import SwinConfig, SwinGuidance
+    cfg = dict(embed_dim=64, depths=(2, 2), heads=(2, 4), window=7)
+    t_bf = SwinGuidance(SwinConfig(**cfg))
+    t_q = SwinGuidance(SwinConfig(**cfg, quant="int8"))
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.rand(2, 64, 64, 3).astype(np.float32))
+    params = t_bf.init(KEY, x)
+    outs_bf = t_bf.apply(params, x)
+    outs_q = t_q.apply(params, x)
+    for a, b in zip(outs_bf, outs_q):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, cos
