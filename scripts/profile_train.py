@@ -27,6 +27,9 @@ def main():
     trace_dir = None
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+    hlo_out = None
+    if "--hlo" in sys.argv:
+        hlo_out = sys.argv[sys.argv.index("--hlo") + 1]
     iters = 10
 
     import jax
@@ -50,6 +53,15 @@ def main():
     batch = batch._replace(text_emb=text_cache(batch.prompt_ids))
     batch = train_fields(batch)
     step = jit_train_step(donate=False, aug_cfg=DeviceAugConfig())
+
+    if hlo_out:
+        from oryon_tpu.data.device_augment import device_augment  # noqa
+        from oryon_tpu.train import train_step
+        lowered = jax.jit(train_step, static_argnames=("aug_cfg",)).lower(
+            state, batch, jax.random.PRNGKey(1), DeviceAugConfig())
+        with open(hlo_out, "w") as f:
+            f.write(lowered.compile().as_text())
+        print(f"wrote compiled HLO to {hlo_out}")
 
     # warmup/compile
     state2, metrics = step(state, batch, jax.random.PRNGKey(1))
