@@ -83,6 +83,9 @@ class ImageEncoderConfig:
 class ModelConfig:
     use_catseg_ckpt: bool = True
     size: str = "full"  # full | small | tiny (small/tiny for smoke tests)
+    # "int8": CLIP tower projections on the int8 MXU path (models/quant.py).
+    # Opt-in: e2e +16% measured; real-checkpoint accuracy not yet validated.
+    quant: str = "none"
     image_encoder: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
 
 

@@ -184,6 +184,14 @@ def tiny_oryon(dtype: Any = jnp.float32) -> OryonModel:
 MODEL_FACTORIES.update({"small": small_oryon, "tiny": tiny_oryon})
 
 
-def build_model(size: str = "full", dtype: Any = None) -> OryonModel:
+def build_model(size: str = "full", dtype: Any = None,
+                quant: str = "none") -> OryonModel:
     factory = MODEL_FACTORIES[size]
-    return factory(dtype) if dtype is not None else factory()
+    kwargs = {}
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    if quant != "none":
+        if size != "full":
+            raise ValueError("model.quant is only wired for size='full'")
+        kwargs["quant"] = quant
+    return factory(**kwargs)

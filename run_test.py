@@ -57,7 +57,8 @@ def main(argv):
     print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
           f" Samples: {len(ds)}")
 
-    model = build_model(cfg.model.size)
+    model = build_model(cfg.model.size,
+                        quant=getattr(cfg.model, "quant", "none"))
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)

@@ -116,7 +116,8 @@ def main(argv):
         w_mask=cfg.loss.w.mask, w_pos=cfg.loss.w.pos, w_neg=cfg.loss.w.neg,
     )
 
-    model = build_model(cfg.model.size)
+    model = build_model(cfg.model.size,
+                        quant=getattr(cfg.model, "quant", "none"))
     key = jax.random.PRNGKey(cfg.seed)
     sample = next(train_ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, lr=cfg.optimization.lr,

@@ -74,11 +74,16 @@ def test_vision_tower_int8_matches_bf16(attn_impl):
 
 
 def test_full_factory_quant_plumb():
-    from oryon_tpu.models.oryon import full_oryon
+    from oryon_tpu.models.oryon import build_model, full_oryon
     m = full_oryon(quant="int8")
     assert m.vision_cfg.quant == "int8"
+    # Swin guidance deliberately stays bf16 (measured dead end — BASELINE.md)
+    assert m.swin_cfg.quant == "none"
     m2 = full_oryon()
     assert m2.vision_cfg.quant == "none"
+    assert build_model("full", quant="int8").vision_cfg.quant == "int8"
+    with pytest.raises(ValueError):
+        build_model("tiny", quant="int8")
 
 
 def test_swin_tower_int8_matches_bf16():
