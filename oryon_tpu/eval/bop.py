@@ -78,15 +78,20 @@ def mspd(
     return jnp.min(jnp.max(d, axis=-1))
 
 
-def depth_to_dist(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+def depth_to_dist(depth: jnp.ndarray, K: jnp.ndarray,
+                  origin: jnp.ndarray | None = None) -> jnp.ndarray:
     """Depth image -> euclidean distance-from-camera image.
 
     Matches reference misc.depth_im_to_dist_im_fast (bop misc.py:316-341).
-    depth: [H, W]; zero depth stays zero.
+    depth: [H, W]; zero depth stays zero.  ``origin`` ([2] int (y0, x0))
+    offsets the pixel grid for depth windows cropped out of a full frame.
     """
     H, W = depth.shape
     xs = jnp.arange(W, dtype=jnp.float32)[None, :]
     ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    if origin is not None:
+        xs = xs + origin[1].astype(jnp.float32)
+        ys = ys + origin[0].astype(jnp.float32)
     X = (xs - K[0, 2]) / K[0, 0] * depth
     Y = (ys - K[1, 2]) / K[1, 1] * depth
     return jnp.sqrt(X * X + Y * Y + depth.astype(jnp.float32) ** 2)
@@ -117,6 +122,7 @@ def vsd_errors(
     delta: float,
     taus: Sequence[float],
     diameter: float,
+    origin: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Visible surface discrepancy given rendered depths, one error per tau.
 
@@ -124,10 +130,15 @@ def vsd_errors(
     depth_test: [H, W] measured scene depth (mm).
     Implements reference pose_error.vsd:17-93 with 'step' cost and
     diameter normalization; returns [len(taus)] float errors.
+
+    Windowed evaluation is exact: visib_gt/visib_est are zero wherever the
+    respective render is zero, so any window containing both renders'
+    nonzero pixels yields the full-frame result (``origin`` keeps the
+    pixel->ray geometry of depth_to_dist anchored to absolute coords).
     """
-    dist_test = depth_to_dist(depth_test, K)
-    dist_gt = depth_to_dist(depth_gt, K)
-    dist_est = depth_to_dist(depth_est, K)
+    dist_test = depth_to_dist(depth_test, K, origin)
+    dist_gt = depth_to_dist(depth_gt, K, origin)
+    dist_est = depth_to_dist(depth_est, K, origin)
 
     visib_gt = visib_mask_gt(dist_test, dist_gt, delta)
     visib_est = visib_mask_est(dist_test, dist_est, visib_gt, delta)

@@ -172,6 +172,133 @@ def render_depth_batch(mesh: Mesh, Rs, ts, K, hw=(480, 640), tile: int = 16):
     return jax.vmap(lambda R, t: render_depth(mesh, R, t, K, hw, tile))(Rs, ts)
 
 
+# ---------------------------------------------------------------------------
+# Windowed gather rasterizer (no scatter)
+#
+# The scatter-min z-buffer above is the rasterizer bottleneck on TPU: the
+# device trace attributes ~9.4 ms per batched (B=8) 640x480 render almost
+# entirely to the scatter fusion (~141k colliding lanes/pose).  VSD only
+# needs depth where a render is nonzero (eval/bop.py: visib_gt requires
+# d_gt>0, visib_est requires d_est>0), so rendering a fixed window around
+# the object's projected bbox is exact.  Inside a window the z-buffer can be
+# a GATHER: screen-space barycentrics and 1/z are AFFINE in pixel coords, so
+# every (pixel, face) coverage test is a few broadcast FMAs and the depth is
+# a max-reduce of 1/z over faces — pure VPU work, no scatter, and no
+# tile-footprint hazard (every window pixel is tested against every face,
+# so meshes need no subdivision on this path).
+# ---------------------------------------------------------------------------
+
+
+def _face_affine(mesh: Mesh, R: jnp.ndarray, t: jnp.ndarray, K: jnp.ndarray):
+    """Project vertices and build per-face affine coefficients.
+
+    Returns (coeffs, front) where coeffs is a tuple of nine [F] arrays
+    (a1,b1,c1, a2,b2,c2, az,bz,cz) such that at pixel (px,py):
+        l1 = a1*px + b1*py + c1          (barycentric 1)
+        l2 = a2*px + b2*py + c2          (barycentric 2)
+        1/z = az*px + bz*py + cz         (perspective-correct inverse depth)
+    Faces failing the front/validity test get empty coverage (c1 = -1)."""
+    cam = jnp.matmul(mesh.vertices, R.T,
+                     precision=jax.lax.Precision.HIGHEST) + t
+    z = cam[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = cam[:, 0] / zs * K[0, 0] + K[0, 2]
+    v = cam[:, 1] / zs * K[1, 1] + K[1, 2]
+    tri = mesh.faces
+    tz, tu, tv = z[tri], u[tri], v[tri]
+    front = jnp.all(tz > 1e-3, axis=-1) & mesh.face_valid
+    x1, x2, x3 = tu[:, 0], tu[:, 1], tu[:, 2]
+    y1, y2, y3 = tv[:, 0], tv[:, 1], tv[:, 2]
+    det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+    det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    a1 = (y2 - y3) / det
+    b1 = (x3 - x2) / det
+    c1 = -(a1 * x3 + b1 * y3)
+    a2 = (y3 - y1) / det
+    b2 = (x1 - x3) / det
+    c2 = -(a2 * x3 + b2 * y3)
+    # 1/z = l1*iz1 + l2*iz2 + (1-l1-l2)*iz3
+    iz = 1.0 / jnp.maximum(tz, 1e-3)
+    d1, d2 = iz[:, 0] - iz[:, 2], iz[:, 1] - iz[:, 2]
+    az = a1 * d1 + a2 * d2
+    bz = b1 * d1 + b2 * d2
+    cz = c1 * d1 + c2 * d2 + iz[:, 2]
+    z0 = jnp.zeros_like(a1)
+    coeffs = (jnp.where(front, a1, z0), jnp.where(front, b1, z0),
+              jnp.where(front, c1, -1.0),
+              jnp.where(front, a2, z0), jnp.where(front, b2, z0),
+              jnp.where(front, c2, z0),
+              jnp.where(front, az, z0), jnp.where(front, bz, z0),
+              jnp.where(front, cz, z0))
+    return coeffs, front, tu, tv
+
+
+def projected_bbox(mesh: Mesh, R, t, K, hw=(480, 640)):
+    """Screen bbox of the valid front faces, clipped to the image.
+
+    Returns (lo_yx, hi_yx, any_front): float32 [2] inclusive pixel bounds
+    (floor/ceil'd) and whether anything renders.  Empty -> lo=0, hi=-1."""
+    H, W = hw
+    _, front, tu, tv = _face_affine(mesh, R, t, K)
+    fu = jnp.where(front[:, None], tu, jnp.inf)
+    fv = jnp.where(front[:, None], tv, jnp.inf)
+    gu = jnp.where(front[:, None], tu, -jnp.inf)
+    gv = jnp.where(front[:, None], tv, -jnp.inf)
+    lo = jnp.stack([jnp.floor(jnp.min(fv)), jnp.floor(jnp.min(fu))])
+    hi = jnp.stack([jnp.ceil(jnp.max(gv)), jnp.ceil(jnp.max(gu))])
+    lim = jnp.asarray([H - 1, W - 1], jnp.float32)
+    lo = jnp.clip(lo, 0.0, lim)
+    hi = jnp.clip(hi, 0.0, lim)
+    any_front = jnp.any(front)
+    lo = jnp.where(any_front, lo, jnp.zeros(2))
+    hi = jnp.where(any_front, hi, -jnp.ones(2))
+    return lo, hi, any_front
+
+
+@partial(jax.jit, static_argnames=("window", "chunk"))
+def render_depth_window(
+    mesh: Mesh,
+    R: jnp.ndarray,          # [3, 3]
+    t: jnp.ndarray,          # [3] (mm)
+    K: jnp.ndarray,          # [3, 3]
+    origin: jnp.ndarray,     # [2] int32 (y0, x0) window corner, absolute px
+    window: Tuple[int, int] = (128, 128),
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Gather-rasterize the model depth (mm) inside a window; 0 = no surface.
+
+    Exactly the z-buffer of ``render_depth`` restricted to the window (up to
+    float associativity at triangle edges), with no tile-footprint limit."""
+    Hw, Ww = window
+    coeffs, _, _, _ = _face_affine(mesh, R, t, K)
+    F = int(mesh.faces.shape[0])
+    Fp = -(-F // chunk) * chunk
+    pads = (0.0,) * 2 + (-1.0,) + (0.0,) * 6  # pad c1=-1 -> empty coverage
+    C = jnp.stack([jnp.pad(c, (0, Fp - F), constant_values=p)
+                   for c, p in zip(coeffs, pads)], axis=1)
+    C = C.reshape(Fp // chunk, chunk, 9)
+
+    px = origin[1].astype(jnp.float32) + jnp.arange(Ww, dtype=jnp.float32)
+    py = origin[0].astype(jnp.float32) + jnp.arange(Hw, dtype=jnp.float32)
+    eps = -1e-5
+
+    def body(best, c):
+        a1, b1, c1, a2, b2, c2, az, bz, cz = [c[:, i] for i in range(9)]
+        # row-factored: the py term is [chunk, Hw], only the px FMA is per-px
+        r1 = (b1[:, None] * py[None, :] + c1[:, None])[:, :, None]
+        r2 = (b2[:, None] * py[None, :] + c2[:, None])[:, :, None]
+        rz = (bz[:, None] * py[None, :] + cz[:, None])[:, :, None]
+        l1 = a1[:, None, None] * px[None, None, :] + r1   # [chunk, Hw, Ww]
+        l2 = a2[:, None, None] * px[None, None, :] + r2
+        iz = az[:, None, None] * px[None, None, :] + rz
+        cov = jnp.minimum(jnp.minimum(l1, l2), 1.0 - l1 - l2) >= eps
+        iz = jnp.where(cov, iz, 0.0)
+        return jnp.maximum(best, jnp.max(iz, axis=0)), None
+
+    best, _ = jax.lax.scan(body, jnp.zeros((Hw, Ww), jnp.float32), C)
+    return jnp.where(best > 1e-9, 1.0 / jnp.maximum(best, 1e-9), 0.0)
+
+
 def max_screen_footprint(mesh: Mesh, R, t, K) -> jnp.ndarray:
     """Diagnostic: the largest triangle bbox edge in pixels under a pose
     (must stay below the rasterizer tile)."""

@@ -181,16 +181,16 @@ def test_evaluator_save_numpy_scalar_ids():
     assert d["cls_id"] == [2501]
 
 
-def test_footprint_guard_pred_overflow_degrades_not_crashes():
-    """A legitimate (non-zero, non-identity) predicted pose far closer to
-    the camera than the rasterizer depth bound must NOT crash the sweep:
+def test_window_guard_pred_overflow_degrades_not_crashes():
+    """A legitimate (non-zero, non-identity) predicted pose whose combined
+    projected bbox exceeds the VSD render window must NOT crash the sweep:
     its VSD recall is zeroed with a warning, other rows keep real values.
-    A GT-pose overflow is a configuration error and raises at the FIRST
-    batch (fail fast), not at flush after the whole sweep."""
+    A GT bbox exceeding the window is a configuration error and raises at
+    the FIRST batch (fail fast), not at flush after the whole sweep."""
     from oryon_tpu.eval.evaluator import BatchedEvaluator
 
-    def build():
-        ev = BatchedEvaluator("t", compute_vsd=True)
+    def build(window):
+        ev = BatchedEvaluator("t", compute_vsd=True, vsd_window=window)
         ev.render_hw = HW
         V, F = icosphere()
         mesh = pad_mesh(V, F, max_edge=5.0)
@@ -200,13 +200,15 @@ def test_footprint_guard_pred_overflow_degrades_not_crashes():
         ev.init_test()
         return ev, mesh
 
-    ev, mesh = build()
+    # GT at z=0.4 m, r=30 mm, f=500 -> projected diameter ~75 px: fits a
+    # 96 px window; a pred pose shifted 60 mm sideways projects ~75 px
+    # away, so the COMBINED bbox (~150 px) overflows the window.
+    ev, mesh = build(96)
     B = 3
     gt = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
     gt[:, 2, 3] = 0.4
     pred = gt.copy()
-    pred[1, 2, 3] = 0.02   # 20 mm from the camera: 5 mm edges -> >100 px
-    pred[1, 0, 3] = 0.001  # keep it a "real" pose (not identity/zero)
+    pred[1, 0, 3] = 0.06
     from oryon_tpu.eval.renderer import render_depth
     depth = np.asarray(render_depth(mesh, jnp.eye(3),
                                     jnp.array([0, 0, 400.0]),
@@ -222,12 +224,11 @@ def test_footprint_guard_pred_overflow_degrades_not_crashes():
     # non-VSD metrics untouched by the overflow handling
     assert ev.metrics["MSSD"][0] > 0.9 and ev.metrics["MSSD"][2] > 0.9
 
-    # GT overflow -> raise at registration time (first batch), not flush
-    ev2, _ = build()
-    gt_bad = gt.copy()
-    gt_bad[0, 2, 3] = 0.02
-    with pytest.raises(RuntimeError, match="max_edge"):
-        ev2.register_test_batch(iou, iou, gt_bad, gt_bad, gt_bad, ["a"] * B,
+    # GT overflow (75 px projection vs 48 px window) -> raise at
+    # registration time (first batch), not flush
+    ev2, _ = build(48)
+    with pytest.raises(RuntimeError, match="vsd_window"):
+        ev2.register_test_batch(iou, iou, gt, gt, gt, ["a"] * B,
                                 cams, depths, [f"i{i}" for i in range(B)])
 
 
@@ -320,3 +321,77 @@ def test_batched_evaluator_flush_interleaved_failures(rng):
     # flush is idempotent
     m2 = ev.get_means()
     assert m == m2
+
+
+def test_window_render_matches_full_frame():
+    """render_depth_window == the same crop of the scatter render_depth up
+    to triangle-edge float associativity (a handful of silhouette pixels)."""
+    from oryon_tpu.eval.renderer import projected_bbox, render_depth_window
+
+    V, F = icosphere()
+    mesh = pad_mesh(V, F, max_edge=5.0)  # satisfies the tile-8 guard
+    rs = np.random.RandomState(7)
+    for _ in range(4):
+        t = jnp.array([rs.uniform(-20, 20), rs.uniform(-20, 20),
+                       rs.uniform(300, 600)])
+        # reference tile must exceed the worst footprint (close poses can
+        # push 5 mm edges past 8 px; the gather render has no such limit)
+        full = np.asarray(render_depth(mesh, jnp.eye(3), t, jnp.array(K),
+                                       HW, tile=16))
+        lo, hi, any_f = projected_bbox(mesh, jnp.eye(3), t, jnp.array(K), HW)
+        assert bool(any_f)
+        win = 96
+        origin = np.clip(np.asarray(lo).astype(np.int32), 0,
+                         [HW[0] - win, HW[1] - win])
+        d = np.asarray(render_depth_window(mesh, jnp.eye(3), t, jnp.array(K),
+                                           jnp.asarray(origin), (win, win)))
+        crop = full[origin[0]:origin[0] + win, origin[1]:origin[1] + win]
+        # every full-frame hit is inside the window
+        assert (full > 0).sum() == (crop > 0).sum()
+        both = (crop > 0) & (d > 0)
+        either = (crop > 0) | (d > 0)
+        # coverage differs only on silhouette-edge pixels (FP association)
+        assert (either & ~both).sum() <= max(4, 0.002 * either.sum())
+        agree = np.abs(crop[both] - d[both])
+        # depth where both cover: equal except edge pixels hitting the
+        # far surface in one impl (diameter-scale diff on <=4 pixels)
+        assert (agree > 0.01).sum() <= 4
+        assert np.median(agree) < 1e-3
+
+
+def test_vsd_errors_windowed_exact():
+    """Windowed vsd_errors (renders + scene-depth crop + origin) equals the
+    full-frame computation when the window covers both renders."""
+    from oryon_tpu.eval.bop import vsd_errors
+    from oryon_tpu.eval.renderer import projected_bbox, render_depth_window
+
+    V, F = icosphere()
+    mesh = pad_mesh(V, F, max_edge=5.0)
+    Kj = jnp.array(K)
+    taus = list(np.arange(0.05, 0.51, 0.05))
+    rs = np.random.RandomState(11)
+    t_gt = jnp.array([5.0, -8.0, 400.0])
+    t_est = jnp.array([9.0, -2.0, 430.0])
+    d_gt_full = render_depth(mesh, jnp.eye(3), t_gt, Kj, HW, tile=16)
+    d_est_full = render_depth(mesh, jnp.eye(3), t_est, Kj, HW, tile=16)
+    scene = jnp.asarray(np.asarray(d_gt_full)
+                        + rs.uniform(-5, 5, HW).astype(np.float32))
+    full = np.asarray(vsd_errors(d_est_full, d_gt_full, scene, Kj, 15.0,
+                                 taus, 60.0))
+
+    lo_g, hi_g, _ = projected_bbox(mesh, jnp.eye(3), t_gt, Kj, HW)
+    lo_p, hi_p, _ = projected_bbox(mesh, jnp.eye(3), t_est, Kj, HW)
+    lo = np.minimum(np.asarray(lo_g), np.asarray(lo_p))
+    win = 112
+    origin = jnp.asarray(np.clip(lo.astype(np.int32), 0,
+                                 [HW[0] - win, HW[1] - win]))
+    d_gt_w = render_depth_window(mesh, jnp.eye(3), t_gt, Kj, origin,
+                                 (win, win))
+    d_est_w = render_depth_window(mesh, jnp.eye(3), t_est, Kj, origin,
+                                  (win, win))
+    scene_w = jax.lax.dynamic_slice(scene, (origin[0], origin[1]),
+                                    (win, win))
+    windowed = np.asarray(vsd_errors(d_est_w, d_gt_w, scene_w, Kj, 15.0,
+                                     taus, 60.0, origin=origin))
+    # identical up to the same silhouette-edge pixels
+    assert np.abs(full - windowed).max() < 5e-3
