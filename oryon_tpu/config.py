@@ -183,6 +183,12 @@ class PretrainedConfig:
 class EvalConfig:
     ckpt: Optional[str] = None
     results: Optional[str] = None
+    # VSD depth renders happen in a square window around the object's
+    # combined projected bbox (exact; eval/renderer.py). Must cover the
+    # largest GT projection — a too-small window raises at the first
+    # batch with the required size. 256 px is ample for REAL275/TOYL
+    # object scales at their scene depths; cost scales with window area.
+    vsd_window: int = 256
 
 
 @dataclass

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 from typing import Dict, List, Optional, TextIO
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,8 +25,7 @@ from oryon_tpu.eval.bop import (
 from oryon_tpu.eval.metrics import (
     compute_add, compute_adds, rotation_translation_errors,
 )
-from oryon_tpu.eval.renderer import (Mesh, max_screen_footprint,
-                                     projected_bbox, render_depth,
+from oryon_tpu.eval.renderer import (Mesh, projected_bbox,
                                      render_depth_window)
 from oryon_tpu.geometry.pcd import diameter
 
@@ -189,11 +189,46 @@ class Evaluator:
         if self.compute_vsd:
             assert depth is not None and obj.mesh is not None, \
                 "VSD needs the scene depth and the object mesh"
-            d_est = render_depth(obj.mesh, pr, pt, K, self.render_hw, tile=8)
-            d_gt = render_depth(obj.mesh, gr, gt_, K, self.render_hw, tile=8)
-            errs = vsd_errors(d_est, d_gt, jnp.asarray(depth, jnp.float32), K,
-                              self.vsd_delta, self.vsd_taus, obj.diameter)
-            mean_vsd = float(vsd_recall(errs))
+            # windowed gather render (same path as the batched evaluator):
+            # exact for VSD and free of the scatter renderer's tile-footprint
+            # hazard (which silently dropped pixels for close poses here)
+            hw = self.render_hw
+            window = (min(self.vsd_window, hw[0]), min(self.vsd_window, hw[1]))
+            wvec = np.asarray(window, np.float32)
+            lo_g, hi_g, any_g = projected_bbox(obj.mesh, gr, gt_, K, hw)
+            lo_p, hi_p, any_p = projected_bbox(obj.mesh, pr, pt, K, hw)
+            lo_g, hi_g = np.asarray(lo_g), np.asarray(hi_g)
+            lo_p, hi_p = np.asarray(lo_p), np.asarray(hi_p)
+            if bool(any_g) and ((hi_g - lo_g + 1) > wvec).any():
+                need = float(((hi_g - lo_g + 1) / wvec).max())
+                raise RuntimeError(
+                    f"VSD render window too small: GT projection needs "
+                    f"{need:.2f}x the window — increase vsd_window "
+                    f"(currently {self.vsd_window}, up to the full frame)")
+            lo = np.minimum(lo_g if bool(any_g) else np.full(2, 1e9),
+                            lo_p if bool(any_p) else np.full(2, 1e9))
+            hi = np.maximum(hi_g if bool(any_g) else np.full(2, -1e9),
+                            hi_p if bool(any_p) else np.full(2, -1e9))
+            if not (bool(any_g) or bool(any_p)):
+                lo, hi = np.zeros(2), -np.ones(2)
+            if ((hi - lo + 1) > wvec).any():
+                # wild predicted pose: window can't cover both renders;
+                # its VSD is ~0 anyway (same policy as the batched path)
+                mean_vsd = 0.0
+            else:
+                origin = jnp.asarray(np.clip(
+                    lo, 0, [hw[0] - window[0], hw[1] - window[1]]
+                ).astype(np.int32))
+                d_est = render_depth_window(obj.mesh, pr, pt, K, origin,
+                                            window)
+                d_gt = render_depth_window(obj.mesh, gr, gt_, K, origin,
+                                           window)
+                d_win = jax.lax.dynamic_slice(
+                    jnp.asarray(depth, jnp.float32),
+                    (origin[0], origin[1]), window)
+                errs = vsd_errors(d_est, d_gt, d_win, K, self.vsd_delta,
+                                  self.vsd_taus, obj.diameter, origin=origin)
+                mean_vsd = float(vsd_recall(errs))
             self.metrics["VSD"].append(mean_vsd)
             self.metrics["AR"].append((mean_mssd + mean_mspd + mean_vsd) / 3.0)
 

@@ -118,7 +118,8 @@ def main(argv):
         print(f"eval mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
     pipe = build_pipeline(model, state.params, pcfg, pointdsc, mesh=mesh)
 
-    ev = Evaluator(cfg.exp_tag, compute_vsd=cfg.compute_vsd)
+    ev = Evaluator(cfg.exp_tag, compute_vsd=cfg.compute_vsd,
+                   vsd_window=cfg.eval.vsd_window)
     ev.add_object_info(ds.reader.object_info())
     ev.init_test()
 
