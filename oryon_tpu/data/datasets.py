@@ -151,7 +151,12 @@ class NocsReader:
         }
 
     def object_info(self, n_faces: Optional[int] = None,
-                    max_edge: Optional[float] = 2.0) -> Dict[str, ObjectInfo]:
+                    max_edge: Optional[float] = None) -> Dict[str, ObjectInfo]:
+        """Per-object eval models.  ``max_edge=None``: the production VSD
+        renderer (render_depth_window) has no per-triangle footprint limit,
+        and its cost is linear in face count — subdividing here would only
+        multiply render cost.  Pass a max_edge only when rendering through
+        the scatter rasterizer (render_depth)."""
         out = {}
         with open(join(self.root, "obj_models", "real_test", "models_info.json")) as f:
             infos = json.load(f)
@@ -233,7 +238,9 @@ class ToylReader:
         }
 
     def object_info(self, n_faces: Optional[int] = None,
-                    max_edge: Optional[float] = 2.0) -> Dict[int, ObjectInfo]:
+                    max_edge: Optional[float] = None) -> Dict[int, ObjectInfo]:
+        """max_edge=None: see NocsReader.object_info — the windowed gather
+        renderer needs no subdivision and its cost scales with faces."""
         out = {}
         mdir = join(self.root, "models_bop")
         with open(join(mdir, "models_info.json")) as f:
@@ -283,10 +290,8 @@ class Shapenet6DReader:
 
         Present only for synthetic trees written by
         scripts/make_synthetic_sn6d.py (a models/ dir of .npz files) — the
-        real ShapeNet6D training archive ships no eval models.  The stored
-        grid meshes have ~5 mm edges, already under the VSD rasterizer's
-        footprint guard at these working distances, so max_edge defaults to
-        no subdivision."""
+        real ShapeNet6D training archive ships no eval models.  max_edge
+        defaults to no subdivision (see NocsReader.object_info)."""
         mdir = join(self.root, "models")
         if not os.path.isdir(mdir):
             raise FileNotFoundError(

@@ -1,8 +1,14 @@
-"""Batched z-buffer triangle rasterizer for VSD depth rendering.
+"""Batched z-buffer triangle rasterizers for VSD depth rendering.
 
 Replaces the reference's offscreen OpenGL renderer (reference:
 bop_toolkit_lib/renderer_vispy.py:259-617 — vispy FBO + GLSL depth shader,
-instantiated at utils/evaluator.py:96) with a pure-XLA rasterizer:
+instantiated at utils/evaluator.py:96) with two pure-XLA rasterizers:
+
+  * ``render_depth_window`` — the production path: a GATHER z-buffer over a
+    fixed window around the object's projected bbox (exact for VSD, no
+    scatter, no footprint limit; see the section comment below).
+  * ``render_depth`` — full-frame scatter-min z-buffer (golden reference
+    for the gather path and for callers needing arbitrary frames):
 
   * vertices are projected with the CV pinhole model (the reference builds a
     GL projection from K and flips CV->GL, renderer_vispy.py:186-237; the
