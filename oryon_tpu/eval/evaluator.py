@@ -580,6 +580,7 @@ class BatchedEvaluator(Evaluator):
     def flush(self) -> None:
         """Resolve all deferred registrations (fetches the queued device
         arrays — one per class group — and appends the host-side rows)."""
+        n_fp_bad = 0
         for item in self._pending:
             B = item["B"]
             res = self._materialize(item)
@@ -587,9 +588,7 @@ class BatchedEvaluator(Evaluator):
                 fp_bad = self._check_footprints(res, item)
                 if fp_bad.any():
                     res[fp_bad, 5] = 0.0
-                    print(f"WARNING: {int(fp_bad.sum())} predicted pose(s) "
-                          "project outside the VSD render window; their "
-                          "VSD recalls set to 0 (pose grossly wrong)")
+                    n_fp_bad += int(fp_bad.sum())
             self.register_train(item["iou_a"], item["iou_q"])
             for i in range(B):
                 self.counts["Missing segm"].append(0)
@@ -610,6 +609,12 @@ class BatchedEvaluator(Evaluator):
                         float((res[i, 3] + res[i, 4] + res[i, 5]) / 3.0))
                 self.metrics["cls_id"].append(item["cls_ids"][i])
                 self.metrics["instance_id"].append(item["instance_ids"][i])
+        if n_fp_bad:
+            # one aggregate line per flush (was one per batch: a 2000-pair
+            # random-weight sweep printed hundreds of identical lines)
+            print(f"WARNING: {n_fp_bad} predicted pose(s) project outside "
+                  "the VSD render window; their VSD recalls set to 0 "
+                  "(pose grossly wrong)")
         self._pending = []
 
     def get_means(self):

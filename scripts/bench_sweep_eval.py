@@ -86,8 +86,13 @@ def run_config(config: str, n_pairs: int, B: int, shared) -> None:
     ev.init_test()
 
     key = jax.random.PRNGKey(0)
-    # warm-up (compiles every program incl. per-class metric programs)
-    warm = type("D", (), {"batches": lambda self, bs, **kw: iter(pool[:2])})()
+    # warm-up over EVERY class: compiles the programs AND fills the per-class
+    # text-embedding cache — each cold class costs one B x 80-prompt text-tower
+    # encode (~0.3-0.5 s host+device), a one-time cost a production 2000-pair
+    # sweep amortizes but a 512-pair fixture run does not (device trace showed
+    # the 21-class TOYL configs paying ~19 cold classes inside the timed
+    # region — the whole "TOYL is slower" delta was warm-up, not eval)
+    warm = type("D", (), {"batches": lambda self, bs, **kw: iter(pool)})()
     run_test_epoch(pipe, warm, ev, B, key, compute_vsd=True,
                    text_cache=text_cache)
     ev.init_test()
