@@ -517,7 +517,13 @@ class BatchedEvaluator(Evaluator):
             t = self._tensors(c)
             sel = np.asarray(idxs)
             n = len(sel)
-            bucket = 1 << (n - 1).bit_length()  # next power of two
+            # next power of two, floored at 8: tiny groups (a batch where
+            # most pairs failed detection) would otherwise materialize
+            # bucket-4/2/1 program variants mid-sweep — each first-seen
+            # shape stalls the epoch on a compile/cache-load through the
+            # relay, far more than the <=7 padded rows cost to render
+            # (metric program is ~4 ms/8 rows)
+            bucket = max(8, 1 << (n - 1).bit_length())
             padded = np.concatenate([sel, np.repeat(sel[:1], bucket - n)])
             if depths is None:
                 d = jnp.zeros((bucket,) + self.render_hw, jnp.float32)
