@@ -397,24 +397,31 @@ def run_test_epoch(
     save_hook=None,
     viz_dir=None,
     loader=None,
+    drain_lookahead: int = 3,
 ):
     """Host loop: iterate batches, run the device pipeline, register metrics
     (reference test_step + on_test_end, pipeline.py:306-370).
 
     ``loader``: optional batch iterable (e.g. data.loader.PrefetchLoader)
     so image loading/collation runs in a background thread; falls back to
-    the dataset's synchronous ``batches``."""
-    from oryon_tpu.eval.evaluator import pred_pose_csv_line
+    the dataset's synchronous ``batches``.
 
-    n_registered = 0
+    The main thread ONLY dispatches device programs; a drain thread does the
+    blocking per-batch work — the ~25 ms packed device->host fetch through
+    the relay, save/viz hooks, CSV writes, and metric registration (which
+    itself dispatches the batched evaluator's jitted metric programs).  The
+    bounded queue (``drain_lookahead`` batches) keeps dispatch ahead of
+    registration without pinning unbounded device buffers.  Ordering is
+    FIFO, so CSV rows and evaluator registration order match the serial
+    loop exactly."""
+    import queue as _queue
+    import threading
 
     def dispatch(batch, key):
         text_emb = (text_cache(batch.cls_id, batch.prompt_ids)
                     if text_cache is not None else None)
         return pipeline_fn(key, batch, text_emb)
 
-    # one-batch lookahead: dispatch batch n+1 before fetching batch n's
-    # outputs so device compute and host bookkeeping overlap
     if loader is not None:
         it = iter(loader)
     else:
@@ -422,27 +429,43 @@ def run_test_epoch(
                   if hasattr(dataset, "batches") and
                   "sort_by_class" in dataset.batches.__code__.co_varnames
                   else dataset.batches(batch_size))
-    pending = []
-    for bi, nxt in enumerate(it):
-        key, sub = jax.random.split(key)
-        pending.append((bi, nxt, dispatch(nxt, sub)))
-        if len(pending) < 2:
-            continue
-        bi, batch, out = pending.pop(0)
-        if save_hook is not None:
-            save_hook(bi, batch, out)
-        if viz_dir is not None:
-            _viz_tracked(viz_dir, dataset, batch, out)
-        n_registered += _register_batch(evaluator, batch, out, csv_fp,
-                                        compute_vsd)
-    for bi, batch, out in pending:
-        if save_hook is not None:
-            save_hook(bi, batch, out)
-        if viz_dir is not None:
-            _viz_tracked(viz_dir, dataset, batch, out)
-        n_registered += _register_batch(evaluator, batch, out, csv_fp,
-                                        compute_vsd)
-    return n_registered
+
+    state = {"n": 0, "err": None}
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, drain_lookahead))
+
+    def drain():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if state["err"] is not None:
+                continue  # keep unblocking the producer until the sentinel
+            bi, batch, out = item
+            try:
+                if save_hook is not None:
+                    save_hook(bi, batch, out)
+                if viz_dir is not None:
+                    _viz_tracked(viz_dir, dataset, batch, out)
+                state["n"] += _register_batch(evaluator, batch, out, csv_fp,
+                                              compute_vsd)
+            except BaseException as e:  # re-raised on the caller's thread
+                state["err"] = e
+
+    t = threading.Thread(target=drain, daemon=True,
+                         name="oryon-test-drain")
+    t.start()
+    try:
+        for bi, nxt in enumerate(it):
+            if state["err"] is not None:
+                break
+            key, sub = jax.random.split(key)
+            q.put((bi, nxt, dispatch(nxt, sub)))
+    finally:
+        q.put(None)
+        t.join()
+    if state["err"] is not None:
+        raise state["err"]
+    return state["n"]
 
 
 def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):

@@ -147,6 +147,32 @@ def test_run_test_epoch_registers_and_writes_csv(tmp_path):
     assert len(lines[0].split(",")) == 5
 
 
+def test_run_test_epoch_drain_thread_propagates_errors():
+    """run_test_epoch registers on a drain thread; its exceptions must
+    surface on the caller's thread, and the producer must not deadlock on
+    the bounded queue when the drain dies mid-epoch."""
+    batch_gen = synthetic_pair_batch(seed=3, batch=4, img_hw=(64, 64),
+                                     orig_hw=(240, 320), n_corrs=256,
+                                     n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch_gen)
+    fn = build_pipeline(model, None, _pipeline_cfg("ransac"))
+
+    class ManyBatchDataset:
+        def batches(self, batch_size):
+            for _ in range(8):   # more batches than the drain lookahead
+                yield batch_gen
+
+    class ExplodingEvaluator:
+        def register_test(self, *a, **kw):
+            raise RuntimeError("boom in drain")
+
+        register_test_failure = register_test
+
+    with pytest.raises(RuntimeError, match="boom in drain"):
+        run_test_epoch(fn, ManyBatchDataset(), ExplodingEvaluator(), 4, KEY,
+                       compute_vsd=False)
+
+
 def test_pipeline_empty_mask_failure_path():
     batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
                                  orig_hw=(240, 320), n_corrs=64,
