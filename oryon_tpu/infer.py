@@ -1,0 +1,338 @@
+"""Serving-oriented inference engine: pose from raw RGB-D pairs + a prompt.
+
+The reference exposes only dataset-driven entry points (run_train.py /
+run_test.py over fixed splits).  Production use needs the inverse shape: a
+long-lived process that loads a checkpoint ONCE, then answers "here are two
+RGB-D views and a text prompt — where did the object move?" requests at
+batch rate.  This module is that engine; ``run_infer.py`` is its CLI.
+
+Design (TPU serving constraints):
+  * ONE compiled program: requests are padded to a fixed batch size and a
+    fixed depth resolution, so every ``predict`` call replays the same XLA
+    executable (dynamic shapes would recompile per request mix — minutes
+    through this relay).  Pads are marked invalid and dropped from results.
+  * Text embeddings are memoized per prompt string (the 80-template CLIP
+    text encode costs more than the whole rest of the pipeline at B=1).
+  * The engine reuses the batched test pipeline (oryon_tpu/pipeline.py) —
+    matching, lifting, and registration semantics are byte-identical to the
+    evaluated path (reference pipeline.py:306-470).
+
+Request dict (arrays already in memory; see ``load_view`` for file I/O):
+    {"anchor": {"rgb": [H,W,3] u8, "depth": [Ho,Wo] u16 mm,
+                "camera": 9-float K, "mask": optional [H,W] u8},
+     "query": {...}, "prompt": "mug"}
+Result dict:
+    {"pose": 4x4 T_anchor->query (meters), "n_corrs": int,
+     "detection_valid": bool, "mask_a"/"mask_q": optional 192² u8}
+"""
+from __future__ import annotations
+
+import json
+from os.path import splitext
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from oryon_tpu.data.templates import CLIP_TEMPLATES
+
+
+def load_view(spec: Dict) -> Dict:
+    """Load one view's arrays from a file spec {rgb, depth, camera[, mask]}.
+
+    rgb: png/jpg (any PIL format) -> [H, W, 3] uint8
+    depth: 16-bit png (mm) or .npy/.npz float/int array (mm)
+    camera: .json ({"fx","fy","cx","cy"} or {"K": 9 floats}), .txt (9
+            floats), or an inline "fx,fy,cx,cy" string
+    mask: optional png (nonzero = object) or .npy
+    """
+    from PIL import Image
+
+    out: Dict = {}
+    out["rgb"] = np.asarray(Image.open(spec["rgb"]).convert("RGB"))
+    d = spec["depth"]
+    if splitext(d)[1] in (".npy", ".npz"):
+        arr = np.load(d)
+        if hasattr(arr, "files"):
+            arr = arr[arr.files[0]]
+        out["depth"] = np.asarray(arr, np.float32)
+    else:
+        out["depth"] = np.asarray(Image.open(d), np.float32)
+    out["camera"] = parse_camera(spec["camera"])
+    if spec.get("mask"):
+        m = spec["mask"]
+        if splitext(m)[1] in (".npy", ".npz"):
+            mask = np.load(m)
+            if hasattr(mask, "files"):
+                mask = mask[mask.files[0]]
+        else:
+            mask = np.asarray(Image.open(m))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        out["mask"] = (mask > 0).astype(np.uint8)
+    return out
+
+
+def parse_camera(spec) -> np.ndarray:
+    """Accepts a 9-float K (row-major), {"fx","fy","cx","cy"}, a file path
+    (.json/.txt), or an inline "fx,fy,cx,cy" string."""
+    if isinstance(spec, np.ndarray):
+        return np.asarray(spec, np.float32).reshape(9)
+    if isinstance(spec, dict):
+        if "K" in spec:
+            return np.asarray(spec["K"], np.float32).reshape(9)
+        return np.array([spec["fx"], 0, spec["cx"],
+                         0, spec["fy"], spec["cy"], 0, 0, 1], np.float32)
+    if isinstance(spec, (list, tuple)):
+        vals = np.asarray(spec, np.float32)
+        if vals.size == 9:
+            return vals.reshape(9)
+        fx, fy, cx, cy = vals
+        return np.array([fx, 0, cx, 0, fy, cy, 0, 0, 1], np.float32)
+    s = str(spec)
+    if s.endswith(".json"):
+        with open(s) as f:
+            return parse_camera(json.load(f))
+    if s.endswith(".txt"):
+        return parse_camera([float(v) for v in open(s).read().split()])
+    return parse_camera([float(v) for v in s.split(",")])
+
+
+class OryonPredictor:
+    """Long-lived inference engine over a fixed (batch, depth-frame) shape.
+
+    ``from_config`` mirrors run_test.py's model/checkpoint/solver setup;
+    the direct constructor takes an already-built model + params (tests,
+    embedding in a larger service).
+    """
+
+    def __init__(self, model, params, *, batch_size: int = 8,
+                 img_size=(224, 224), depth_hw=(480, 640),
+                 mask_source: str = "predicted", solver: str = "ransac",
+                 pointdsc=None, n_corrs: int = 500, dist_th: float = 0.25,
+                 mask_threshold: float = 0.5, vocabulary: str = "",
+                 mesh=None, seed: int = 0, tokenize_fn=None):
+        import jax
+        from oryon_tpu.models.tokenizer import ClipTokenizer
+        from oryon_tpu.ops.matching import MatchParams
+        from oryon_tpu.pipeline import PipelineConfig, build_pipeline
+
+        self.model = model
+        self.params = params
+        self.B = int(batch_size)
+        self.img_size = tuple(img_size)
+        self.depth_hw = tuple(depth_hw)
+        self.mask_source = mask_source
+        if tokenize_fn is None:
+            # prompt shape follows the model: P templates x L context tokens
+            # (full model: 80 x 77, matching the dataset path)
+            tokenizer = ClipTokenizer(vocabulary)
+            n_p = model.fusion_cfg.num_prompts
+            ctx = model.text_cfg.context_length
+
+            def tokenize_fn(prompt: str) -> np.ndarray:
+                prompts = [t.format(prompt) for t in CLIP_TEMPLATES[:n_p]]
+                return tokenizer(prompts, context_length=ctx)
+
+        self._tokenize = tokenize_fn
+        pcfg = PipelineConfig(
+            mask_source=mask_source, mask_threshold=mask_threshold,
+            solver=solver,
+            match=MatchParams(src_capacity=5120, max_corrs=n_corrs,
+                              dist_th=dist_th))
+        self._pipe = build_pipeline(model, params, pcfg, pointdsc, mesh=mesh)
+        self._encode = jax.jit(lambda p, ids: model.apply(
+            p, ids, method=model.encode_prompts))
+        self._text_cache: Dict[str, np.ndarray] = {}
+        self._key = jax.random.PRNGKey(seed)
+        self._max_corrs = n_corrs
+
+    @classmethod
+    def from_config(cls, cfg, *, batch_size: Optional[int] = None,
+                    depth_hw=(480, 640)) -> "OryonPredictor":
+        """Build from the standard config tree: model size/quant, pretrained
+        merge, experiment checkpoint (eval.ckpt), configured solver with the
+        same missing-snapshot fallback policy as run_test.py."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from oryon_tpu.data.pair_batch import PairBatch, PairView
+        from oryon_tpu.models.oryon import build_model
+        from oryon_tpu.train import create_train_state
+
+        model = build_model(cfg.model.size,
+                            quant=getattr(cfg.model, "quant", "none"))
+        key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
+        H, W = cfg.dataset.img_size
+        rgb = jnp.zeros((1, H, W, 3), jnp.float32)
+        n_p = model.fusion_cfg.num_prompts
+        ctx = model.text_cfg.context_length
+        vocab = model.text_cfg.vocab_size
+        ids = np.zeros((1, n_p, ctx), np.int32)
+        ids[:, :, 0], ids[:, :, 1], ids[:, :, 2] = vocab - 2, 320, vocab - 1
+        view = PairView(rgb=rgb, mask=None, depth=None, orig_depth=None,
+                        eval_depth=None, camera=None, pose=None, size=None)
+        sample = PairBatch(anchor=view, query=view, prompt_ids=jnp.array(ids),
+                           corrs=None, corr_valid=None, valid=None,
+                           rel_pose=None, cls_id=None, instance_id=None)
+        # full TrainState: restore_checkpoint templates params+opt_state+step
+        state = create_train_state(model, key, sample, total_steps=1)
+        params = state.params
+
+        if cfg.model.size == "full":
+            from oryon_tpu.models.pretrained import load_pretrained_params
+            params, report = load_pretrained_params(cfg, params)
+            state = state.replace(params=params)
+            for line in report:
+                print(line)
+        if cfg.eval.ckpt is not None and str(cfg.eval.ckpt) != "":
+            from oryon_tpu.checkpoint import restore_checkpoint
+            state, epoch = restore_checkpoint(cfg, state, str(cfg.eval.ckpt))
+            if epoch >= 0:
+                params = state.params
+                print(f"loaded checkpoint epoch {epoch}")
+            else:
+                print(f"WARNING: eval.ckpt={cfg.eval.ckpt!r} not found; "
+                      "serving current (pretrained/random) params")
+
+        solver, pointdsc = cfg.test.solver, None
+        if solver == "pointdsc":
+            from oryon_tpu.pipeline import (build_pointdsc_solver,
+                                            pointdsc_snapshot_path)
+            if os.path.exists(pointdsc_snapshot_path(cfg.pretrained.pointdsc)):
+                pointdsc = build_pointdsc_solver(
+                    cfg.pretrained.pointdsc, key, cfg.test.n_corrs)
+            else:
+                print("WARNING: PointDSC snapshot absent; serving with "
+                      "RANSAC registration")
+                solver = "ransac"
+        return cls(model, params,
+                   batch_size=batch_size or cfg.dataset.batch_size,
+                   img_size=cfg.dataset.img_size, depth_hw=depth_hw,
+                   mask_source=cfg.test.mask,
+                   solver=solver, pointdsc=pointdsc,
+                   n_corrs=cfg.test.n_corrs, dist_th=cfg.test.dist_th,
+                   mask_threshold=cfg.test.mask_threshold,
+                   vocabulary=cfg.pretrained.vocabulary,
+                   seed=cfg.seed if cfg.use_seed else 0)
+
+    # ----- request plumbing -------------------------------------------------
+
+    def _text_emb(self, prompt: str) -> np.ndarray:
+        emb = self._text_cache.get(prompt)
+        if emb is None:
+            ids = np.asarray(self._tokenize(prompt))[None]
+            emb = self._encode(self.params, ids)[0]
+            self._text_cache[prompt] = emb
+        return emb
+
+    def _view(self, specs: Sequence[Dict]):
+        """Stack request views into a PairView at engine shapes."""
+        import jax.numpy as jnp
+
+        from oryon_tpu.data.pair_batch import PairView
+
+        H, W = self.img_size
+        Ho, Wo = self.depth_hw
+        rgbs, masks, depths, cams, sizes = [], [], [], [], []
+        for v in specs:
+            rgb = np.asarray(v["rgb"])
+            if rgb.dtype != np.uint8:
+                rgb = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+            if rgb.shape[:2] != (H, W):
+                rgb = _resize_u8(rgb, (H, W))
+            rgbs.append(rgb)
+            m = v.get("mask")
+            if m is None:
+                m = np.zeros((H, W), np.uint8)
+            elif m.shape != (H, W):
+                m = _resize_u8(m[..., None], (H, W), nearest=True)[..., 0]
+            masks.append(m.astype(np.uint8))
+            d = np.asarray(v["depth"], np.float32)
+            if d.shape != (Ho, Wo):
+                raise ValueError(
+                    f"depth frame {d.shape} != engine depth_hw {(Ho, Wo)}; "
+                    "build the predictor with the matching depth_hw "
+                    "(one compiled program per depth resolution)")
+            depths.append(np.clip(d, 0, 65535).astype(np.uint16))
+            cams.append(parse_camera(v["camera"]))
+            sizes.append((Ho, Wo))
+        return PairView(
+            rgb=jnp.array(np.stack(rgbs)),
+            mask=jnp.array(np.stack(masks)),
+            depth=None,
+            orig_depth=jnp.array(np.stack(depths)),
+            eval_depth=None,
+            camera=jnp.array(np.stack(cams)),
+            pose=jnp.broadcast_to(jnp.eye(4), (len(specs), 4, 4)),
+            size=jnp.array(np.asarray(sizes, np.int32)),
+        )
+
+    def predict(self, requests: List[Dict], *,
+                return_masks: bool = False) -> List[Dict]:
+        """Run a request list through the engine; returns one result per
+        request (requests beyond the engine batch are processed in chunks,
+        a short tail is padded with the first request and dropped)."""
+        import jax
+
+        results: List[Dict] = []
+        for i in range(0, len(requests), self.B):
+            chunk = requests[i: i + self.B]
+            n_real = len(chunk)
+            chunk = chunk + [chunk[0]] * (self.B - n_real)
+            batch, text_emb = self._build_batch(chunk)
+            self._key, sub = jax.random.split(self._key)
+            out = self._pipe(sub, batch, text_emb)
+            packed = np.asarray(out.packed)  # ONE fetch: poses + scalars
+            masks = None
+            if return_masks:
+                masks = (np.asarray(out.mask_a), np.asarray(out.mask_q))
+            for b in range(n_real):
+                res = {
+                    "pose": packed[b, :16].reshape(4, 4).tolist(),
+                    "n_corrs": int(packed[b, 32]),
+                    "detection_valid": bool(packed[b, 33] > 0),
+                    "prompt": chunk[b]["prompt"],
+                }
+                if return_masks:
+                    res["mask_a"] = masks[0][b]
+                    res["mask_q"] = masks[1][b]
+                results.append(res)
+        return results
+
+    def predict_pair(self, anchor: Dict, query: Dict, prompt: str,
+                     **kw) -> Dict:
+        return self.predict(
+            [{"anchor": anchor, "query": query, "prompt": prompt}], **kw)[0]
+
+    def _build_batch(self, chunk: Sequence[Dict]):
+        import jax.numpy as jnp
+
+        from oryon_tpu.data.pair_batch import PairBatch
+
+        B = len(chunk)
+        text = jnp.stack([jnp.asarray(self._text_emb(r["prompt"]))
+                          for r in chunk])
+        batch = PairBatch(
+            anchor=self._view([r["anchor"] for r in chunk]),
+            query=self._view([r["query"] for r in chunk]),
+            prompt_ids=None,  # text_emb short-circuits the text tower
+            corrs=jnp.zeros((B, self._max_corrs, 4), jnp.int32),
+            corr_valid=jnp.zeros((B, self._max_corrs), bool),
+            valid=np.ones(B, np.float32),
+            rel_pose=None,
+            cls_id=np.zeros(B, np.int64),
+            instance_id=np.asarray([r.get("id", str(i))
+                                    for i, r in enumerate(chunk)]),
+        )
+        return batch, text
+
+
+def _resize_u8(img: np.ndarray, hw, nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    return np.asarray(Image.fromarray(img.squeeze() if img.shape[-1] == 1
+                                      else img).resize(
+        (hw[1], hw[0]), mode)).reshape(hw[0], hw[1], -1)
