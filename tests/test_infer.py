@@ -84,6 +84,39 @@ def test_predict_masks_and_shape_guard(engine):
         engine.predict([bad])
 
 
+def test_predict_mesh_data_parallel_matches_single_device(engine):
+    """Serving over an 8-device data mesh == single-device serving.
+
+    Multi-chip serving (OryonPredictor(mesh=...) / from_config auto-mesh)
+    shards each request batch over the data axis with replicated params;
+    DP inference has no cross-pair state, so results must agree."""
+    from oryon_tpu.infer import OryonPredictor
+    from oryon_tpu.parallel import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), 1)
+    sharded = OryonPredictor(engine.model, engine.params,
+                             batch_size=len(jax.devices()),
+                             img_size=IMG_HW, depth_hw=DEPTH_HW,
+                             solver="ransac", n_corrs=64, mesh=mesh,
+                             tokenize_fn=_fake_tokenize)
+    rs = np.random.RandomState(4)
+    reqs = [_request(rs, "mug") for _ in range(len(jax.devices()))]
+    got = sharded.predict(reqs)
+    rs = np.random.RandomState(4)
+    reqs = [_request(rs, "mug") for _ in range(len(jax.devices()))]
+    want = engine.predict(reqs)  # B=2 engine: 4 chunks, same per-pair math
+    assert len(got) == len(want)
+    for g in got:
+        T = np.asarray(g["pose"])
+        assert T.shape == (4, 4) and np.isfinite(T).all()
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+    # the forward (masks -> detection gate) is deterministic and must agree
+    # across shardings/chunkings; poses may differ (per-chunk RNG streams)
+    assert ([g["detection_valid"] for g in got]
+            == [w["detection_valid"] for w in want])
+
+
 def test_parse_camera_forms(tmp_path):
     from oryon_tpu.infer import parse_camera
 
