@@ -104,6 +104,10 @@ class Evaluator:
             self.counts[k] = []
         for r, t in self.POSE_RECALL_TH:
             self.metrics[f"Recall ({r}deg, {t}cm)"] = []
+        # learning-signal metrics (reference compute_fmr,
+        # utils/metrics.py:59-77): registered per live pair by the pipeline
+        for k in ("FMR", "Inlier rate"):
+            self.metrics[k] = []
 
     def init_test(self):
         self.init_validation()
@@ -267,6 +271,15 @@ class Evaluator:
         self.register_valid_failure(iou_a, iou_q)
         self.metrics["cls_id"].append(cls_id)
         self.metrics["instance_id"].append(instance_id)
+
+    def register_signal(self, fmr_vals, inlier_vals):
+        """Learning-signal metrics per live pair: FMR at GT corrs + the
+        geometric inlier rate of predicted matches (computed on-device by
+        the pipeline; reference compute_fmr, utils/metrics.py:59-77)."""
+        self.metrics["FMR"].extend(
+            np.atleast_1d(np.asarray(fmr_vals, np.float64)).tolist())
+        self.metrics["Inlier rate"].extend(
+            np.atleast_1d(np.asarray(inlier_vals, np.float64)).tolist())
 
     # -- summaries ---------------------------------------------------------
     def get_means(self) -> Dict[str, float]:

@@ -100,13 +100,24 @@ def fmr(
     feats2: jnp.ndarray,
     dist_th: float,
     inlier_th: float,
+    w: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Feature-match recall over (..., N, D) matched feature sets."""
+    """Feature-match recall over (..., N, D) matched feature sets
+    (reference compute_fmr, utils/metrics.py:59-77).
+
+    ``w`` (..., N): optional 0/1 validity weights so fixed-capacity padded
+    correspondence buffers score like exact-size ones."""
     cos = jnp.sum(
         _unit(feats1) * _unit(feats2), axis=-1
     )
     dist = 0.5 * (1.0 - cos)
-    inlier_ratio = jnp.mean((dist < dist_th).astype(jnp.float32), axis=-1)
+    inl = (dist < dist_th).astype(jnp.float32)
+    if w is None:
+        inlier_ratio = jnp.mean(inl, axis=-1)
+    else:
+        w = w.astype(jnp.float32)
+        inlier_ratio = jnp.sum(inl * w, axis=-1) / jnp.maximum(
+            jnp.sum(w, axis=-1), 1.0)
     return (inlier_ratio > inlier_th).astype(jnp.float32)
 
 

@@ -44,6 +44,15 @@ class PipelineConfig:
     ransac_hypotheses: int = 1024
     ransac_match_err: float = 0.001     # reference pipeline.py:463
     debug_valid: bool = False           # GT corrs -> solver upper bound
+    # learning-signal metrics (reference compute_fmr, utils/metrics.py:59-77):
+    # FMR over features at the GT correspondence pixels (dist = inverted
+    # cosine, thresholds follow the loss margins) and the geometric inlier
+    # rate of the PREDICTED matches under the GT relative pose
+    fmr_dist_th: float = 0.2
+    fmr_inlier_th: float = 0.05
+    signal_inlier_m: float = 0.02   # ~6x the featmap-pixel quantization
+                                    # floor at REAL275 scale, strict enough
+                                    # that random in-mask matches score ~0
 
 
 class PipelineOutputs(NamedTuple):
@@ -57,11 +66,43 @@ class PipelineOutputs(NamedTuple):
     mask_q: jnp.ndarray
     corrs: jnp.ndarray            # [B, N, 4] featmap-frame correspondences
     corr_valid: jnp.ndarray       # [B, N]
-    packed: jnp.ndarray = None    # [B, 36] f32: rel(16) | abs(16) | n_corrs
-                                  # | det | iou_a | iou_q — the host loop's
-                                  # whole per-batch read in ONE fetch
-                                  # (device->host copies cost ~25 ms each
-                                  # through the relay)
+    packed: jnp.ndarray = None    # [B, 38] f32: rel(16) | abs(16) | n_corrs
+                                  # | det | iou_a | iou_q | fmr | inlier_rate
+                                  # — the host loop's whole per-batch read in
+                                  # ONE fetch (device->host copies cost
+                                  # ~25 ms each through the relay)
+    fmr: jnp.ndarray = None          # [B] feature-match recall at GT corrs
+    inlier_rate: jnp.ndarray = None  # [B] predicted-match geometric inliers
+
+
+def _lift_corrs(
+    corrs_yx: jnp.ndarray,     # [N, 4] featmap coords (y1,x1,y2,x2)
+    corr_valid: jnp.ndarray,   # [N]
+    depth_a: jnp.ndarray,      # [Ho, Wo] mm
+    depth_q: jnp.ndarray,
+    camera_a: jnp.ndarray,     # [9]
+    camera_q: jnp.ndarray,
+    size_a: jnp.ndarray,       # [2] original (H, W)
+    size_q: jnp.ndarray,
+    feat_hw: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rescale featmap-frame corrs to original frames and lift both ends to
+    3D meters (reference get_pose corr scaling + lift, pipeline.py:447-460).
+    Returns (pts_a [N,3], pts_q [N,3], valid [N])."""
+    Ho, Wo = depth_a.shape
+    ca = scale_coords(corrs_yx[:, :2].astype(jnp.float32), feat_hw,
+                      size_a.astype(jnp.float32))
+    cq = scale_coords(corrs_yx[:, 2:].astype(jnp.float32), feat_hw,
+                      size_q.astype(jnp.float32))
+    ok = (corr_valid & valid_coords(ca, size_a) & valid_coords(cq, size_q))
+    cai = jnp.clip(ca.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
+    cqi = jnp.clip(cq.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
+
+    pa = lift_pcd_at(depth_a, camera_a, cai) / 1000.0
+    pq = lift_pcd_at(depth_q, camera_q, cqi) / 1000.0
+    # zero-depth lifts are invalid matches
+    ok = ok & (pa[:, 2] > 0) & (pq[:, 2] > 0)
+    return pa, pq, ok
 
 
 def _pose_from_corrs(
@@ -80,19 +121,8 @@ def _pose_from_corrs(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scale corrs to original frames, lift to 3D (meters), register.
     (reference get_pose, pipeline.py:429-472)."""
-    Ho, Wo = depth_a.shape
-    ca = scale_coords(corrs_yx[:, :2].astype(jnp.float32), feat_hw,
-                      size_a.astype(jnp.float32))
-    cq = scale_coords(corrs_yx[:, 2:].astype(jnp.float32), feat_hw,
-                      size_q.astype(jnp.float32))
-    ok = (corr_valid & valid_coords(ca, size_a) & valid_coords(cq, size_q))
-    cai = jnp.clip(ca.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
-    cqi = jnp.clip(cq.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
-
-    pa = lift_pcd_at(depth_a, camera_a, cai) / 1000.0
-    pq = lift_pcd_at(depth_q, camera_q, cqi) / 1000.0
-    # zero-depth lifts are invalid matches
-    ok = ok & (pa[:, 2] > 0) & (pq[:, 2] > 0)
+    pa, pq, ok = _lift_corrs(corrs_yx, corr_valid, depth_a, depth_q,
+                             camera_a, camera_q, size_a, size_q, feat_hw)
     w = ok.astype(jnp.float32)
 
     if cfg.solver == "ransac":
@@ -226,6 +256,40 @@ def build_pipeline(
                 batch.anchor.size, batch.query.size,
             )
 
+        # learning-signal metrics (VERDICT r2 #3): FMR over the featmaps at
+        # the GT correspondence pixels, and the geometric inlier rate of the
+        # PREDICTED matches under the GT relative pose.  Both answer "are
+        # the contrastive features learning?" independently of the solver.
+        from oryon_tpu.eval.metrics import fmr as _fmr
+        ih, iw = batch.anchor.rgb.shape[1:3]
+        sig_fc = scale_coords(batch.corrs.astype(jnp.float32), (ih, iw),
+                              (FH, FW))
+        sig_fc = jnp.clip(sig_fc, 0, jnp.array(
+            [FH - 1, FW - 1, FH - 1, FW - 1], jnp.float32)).astype(jnp.int32)
+        bidx = jnp.arange(B)[:, None]
+        feats_gt_a = out.featmap_a[bidx, sig_fc[..., 0], sig_fc[..., 1]]
+        feats_gt_q = out.featmap_q[bidx, sig_fc[..., 2], sig_fc[..., 3]]
+        fmr_v = _fmr(feats_gt_a, feats_gt_q, cfg.fmr_dist_th,
+                     cfg.fmr_inlier_th, w=batch.corr_valid)
+
+        rel_gt = (batch.rel_pose if batch.rel_pose is not None
+                  else jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
+
+        def per_pair_inlier(cy, cv, da, dq, cam_a, cam_q, sa, sq, Tgt):
+            pa, pq, ok = _lift_corrs(cy, cv, da, dq, cam_a, cam_q, sa, sq,
+                                     (FH, FW))
+            p2 = pa @ Tgt[:3, :3].T + Tgt[:3, 3]
+            d = jnp.linalg.norm(p2 - pq, axis=-1)
+            w = ok.astype(jnp.float32)
+            return jnp.sum((d < cfg.signal_inlier_m) * w) / jnp.maximum(
+                jnp.sum(w), 1.0)
+
+        inlier_rate = jax.vmap(per_pair_inlier)(
+            corrs_yx, corr_valid,
+            batch.anchor.orig_depth, batch.query.orig_depth,
+            batch.anchor.camera, batch.query.camera,
+            batch.anchor.size, batch.query.size, rel_gt)
+
         # no-corr pairs report identity (registered as failure by the host)
         has_corrs = n_corrs >= 4
         eye = jnp.broadcast_to(jnp.eye(4), T_rel.shape)
@@ -241,6 +305,8 @@ def build_pipeline(
             det_valid.reshape(B, 1).astype(jnp.float32),
             iou_a.reshape(B, 1).astype(jnp.float32),
             iou_q.reshape(B, 1).astype(jnp.float32),
+            fmr_v.reshape(B, 1).astype(jnp.float32),
+            inlier_rate.reshape(B, 1).astype(jnp.float32),
         ], axis=1)
         return PipelineOutputs(
             pred_rel_pose=T_rel, pred_pose=pred_q,
@@ -248,7 +314,7 @@ def build_pipeline(
             iou_a=iou_a, iou_q=iou_q,
             mask_a=pred_mask_a, mask_q=pred_mask_q,
             corrs=corrs_yx, corr_valid=corr_valid,
-            packed=packed,
+            packed=packed, fmr=fmr_v, inlier_rate=inlier_rate,
         )
 
     from oryon_tpu.data.pair_batch import device_fields
@@ -483,6 +549,8 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
         det = packed[:, 33] > 0
         iou_a = packed[:, 34]
         iou_q = packed[:, 35]
+        fmr_v = packed[:, 36] if packed.shape[1] > 36 else None
+        inl_v = packed[:, 37] if packed.shape[1] > 37 else None
     else:
         det = np.asarray(out.detection_valid)
         n_corrs = np.asarray(out.n_corrs)
@@ -490,6 +558,9 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
         iou_q = np.asarray(out.iou_q)
         pred_rel = np.asarray(out.pred_rel_pose)
         pred_q = np.asarray(out.pred_pose)
+        fmr_v = np.asarray(out.fmr) if out.fmr is not None else None
+        inl_v = (np.asarray(out.inlier_rate)
+                 if out.inlier_rate is not None else None)
     valid = np.asarray(batch.valid)
     gt_pose_q = np.asarray(batch.query.pose)
     cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
@@ -511,6 +582,14 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
             cameras[sel], depths_dev if compute_vsd else None,
             [batch.instance_id[i] for i in ok_idx],
             depth_index=sel)
+    # learning-signal metrics: feature quality at GT corrs + geometric
+    # inlier rate of predicted matches, for every non-padding pair
+    # (independent of detection success, so the curve covers failures too)
+    if (fmr_v is not None and hasattr(evaluator, "register_signal")
+            and "FMR" in evaluator.metrics):
+        live = [i for i in range(B) if valid[i] != 0]
+        if live:
+            evaluator.register_signal(fmr_v[live], inl_v[live])
     for i in range(B):
         if valid[i] == 0:  # padding rows
             continue

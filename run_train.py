@@ -205,7 +205,8 @@ def main(argv):
             saved = True
             print(f"saved {path}")
         if valid_ds is not None and (epoch + 1) % cfg.training.freq_valid == 0:
-            run_validation(cfg, model, state, valid_ds, key, epoch)
+            run_validation(cfg, model, state, valid_ds, key, epoch,
+                           logger=logger)
         rss_cap = float(getattr(cfg.training, "rss_restart_gib", 0) or 0)
         if (rss_cap > 0 and epoch < cfg.training.n_epochs - 1
                 and _rss_gib() > rss_cap):
@@ -218,7 +219,7 @@ def main(argv):
     logger.close()
 
 
-def run_validation(cfg, model, state, valid_ds, key, epoch):
+def run_validation(cfg, model, state, valid_ds, key, epoch, logger=None):
     """Pose-metric validation pass (reference validation_step,
     pipeline.py:196-247), without VSD for speed."""
     import os
@@ -263,6 +264,13 @@ def run_validation(cfg, model, state, valid_ds, key, epoch):
     print(f"valid epoch {epoch}: " +
           " ".join(f"{k}={v:.3f}" for k, v in sorted(means.items())
                    if isinstance(v, float)))
+    if logger is not None:
+        # val curve in the run JSONL (incl. FMR + match inlier rate, the
+        # "is the contrastive loss learning features?" signals)
+        logger.log_step(int(state.step),
+                        {k.replace(" ", "_"): v for k, v in means.items()
+                         if isinstance(v, float)},
+                        prefix="valid_metric")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Production-scale synthetic ShapeNet6D-format dataset generator.
+"""Production-scale synthetic ShapeNet6D-format dataset generator (hardened).
 
 Materializes an on-disk tree in the exact layout Shapenet6DReader consumes
 (reference utils/data/shapenet.py formats), so the REAL training/eval CLIs
@@ -7,12 +7,32 @@ Materializes an on-disk tree in the exact layout Shapenet6DReader consumes
 collate path at reference scale (20000 train pairs, B=32 — reference
 configs/config.yaml:15-17) without the real ShapeNetSem assets (zero egress).
 
+Round-3 hardening (VERDICT r2 #1: the round-2 benchmark was saturated —
+untrained IoU 0.959, trivially separable object-vs-background brightness,
+small pose deltas).  This version makes the benchmark discriminative:
+
+  * Textures are STRUCTURED and category-colored (low-frequency sinusoid
+    patterns over a per-category hue) instead of per-pixel noise — matching
+    needs learned features; a fraction of objects is texture-POOR (near
+    uniform) where classical SIFT starves.
+  * The background is a smooth gradient field whose brightness overlaps the
+    objects — no brightness-threshold segmentation shortcut.
+  * Each view contains 1-3 DISTRACTOR patches from other categories, placed
+    independently per view (they cannot supply a consistent false pose) and
+    allowed to occlude the target (z-buffered), so segmentation must pick
+    the prompted object and correspondences must survive partial occlusion
+    (reference pair-builder co-visibility rule, make_nocs_test.py:47-86).
+  * View poses are large and mixed: "rotation-dominant" views (0.35-0.80 rad
+    with small shift) and "shift-dominant" views (up to 0.15 m) — identity
+    relative pose is a clearly failing baseline.
+
 Each object is a textured smooth depth patch (canonical surface defined in
 its view-0 camera frame); V views per object are rendered by rigidly moving
-the surface and z-buffer-splatting depth + texture.  GT relative poses are
-exact by construction and GT pixel correspondences are computed analytically
-from canonical-point identity with the same co-visibility rule the reference
-pair builder uses (2 mm depth agreement, reference make_nocs_test.py:47-86).
+the surface and z-buffer-splatting depth + texture together with the
+distractors.  GT relative poses are exact by construction and GT pixel
+correspondences are computed analytically from canonical-point identity with
+the same co-visibility rule the reference pair builder uses (2 mm depth
+agreement — occlusion-aware for free, since distractors share the z-buffer).
 
 Also writes per-object models (points + grid mesh) under models/ so the val
 split supports the full BOP evaluation (ADD/MSSD/MSPD/VSD) via run_test.py.
@@ -60,6 +80,7 @@ CATEGORIES = [
     ("guitar", "guitar"), ("knife", "knife,blade"), ("pot", "pot,planter"),
     ("book", "book"), ("shoe", "shoe,boot"), ("toy", "toy,figurine"),
 ]
+TEXTURE_POOR_FRAC = 0.25   # objects with near-uniform texture (SIFT-hostile)
 
 
 # the 80 public CLIP ImageNet prompt templates the reference pipeline uses
@@ -67,29 +88,70 @@ CATEGORIES = [
 from oryon_tpu.data.templates import CLIP_TEMPLATES as TEMPLATES  # noqa: E402
 
 
-def _random_pose(rs, max_angle=0.45, max_shift=0.07):
+def _hsv_rgb(h, s, v):
+    i = int(h * 6.0) % 6
+    f = h * 6.0 - int(h * 6.0)
+    p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+    return np.array([(v, t, p), (q, v, p), (p, v, t),
+                     (p, q, v), (t, p, v), (v, p, q)][i])
+
+
+def make_texture(rs, oh, ow, cat_idx, poor):
+    """Structured, category-colored texture over the canonical grid.
+
+    Low-frequency sinusoid shading on a per-category hue: locally smooth
+    (matching cannot key on per-pixel noise), globally class-informative
+    (the prompt <-> appearance association is learnable)."""
+    hue = (cat_idx / float(len(CATEGORIES)) + rs.uniform(-0.02, 0.02)) % 1.0
+    base = _hsv_rgb(hue, rs.uniform(0.45, 0.70), rs.uniform(0.55, 0.85))
+    ry = np.arange(oh, dtype=np.float64)[:, None]
+    rx = np.arange(ow, dtype=np.float64)[None, :]
+    pat = (np.sin(ry / rs.uniform(4, 14) + rs.uniform(0, 6.3))
+           + np.sin(rx / rs.uniform(4, 14) + rs.uniform(0, 6.3))
+           + np.sin((ry + rx) / rs.uniform(6, 20) + rs.uniform(0, 6.3))) / 3.0
+    contrast = 0.03 if poor else rs.uniform(0.20, 0.45)
+    shade = 1.0 + contrast * 2.0 * pat
+    noise = 0.015 if poor else 0.03
+    tex = (base[None, None, :] * shade[..., None]
+           + noise * (rs.rand(oh, ow, 3) - 0.5))
+    return np.clip(tex, 0.02, 1.0).reshape(-1, 3)
+
+
+def _pose(rs, ang, shift):
+    """Rotation by ``ang`` rad about a random axis + random-direction
+    translation of norm ``shift`` meters."""
     axis = rs.randn(3)
     axis /= np.linalg.norm(axis)
-    ang = rs.uniform(-max_angle, max_angle)
     Kx = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
                    [-axis[1], axis[0], 0]])
     R = np.eye(3) + np.sin(ang) * Kx + (1 - np.cos(ang)) * (Kx @ Kx)
+    t = rs.randn(3)
+    t = t / np.linalg.norm(t) * shift
     T = np.eye(4)
     T[:3, :3] = R
-    T[:3, 3] = rs.uniform(-max_shift, max_shift, 3)
+    T[:3, 3] = t
     return T
 
 
-def make_canonical(rs, hw, K):
-    """Canonical textured surface (points mm in view-0 camera frame)."""
+def _view_pose(rs, kind, scale=1.0):
+    """Large mixed pose deltas: rotation-dominant or shift-dominant views."""
+    if kind == "rot":
+        return _pose(rs, rs.uniform(0.35, 0.80) * scale,
+                     rs.uniform(0.0, 0.03) * scale)
+    return _pose(rs, rs.uniform(0.05, 0.25) * scale,
+                 rs.uniform(0.06, 0.15) * scale)
+
+
+def _surface(rs, hw, K, size_lo, size_hi, z0, margin_frac):
+    """Smooth textured depth patch: (points mm in camera frame, grid hw)."""
     OH, OW = hw
-    oh = rs.randint(int(OH * 0.19), int(OH * 0.32))
-    ow = rs.randint(int(OW * 0.14), int(OW * 0.24))
-    oy = rs.randint(OH // 8, OH - oh - OH // 8)
-    ox = rs.randint(OW // 8, OW - ow - OW // 8)
+    oh = rs.randint(int(OH * size_lo), int(OH * size_hi))
+    ow = rs.randint(int(OW * size_lo * 0.75), int(OW * size_hi * 0.75))
+    m_y, m_x = int(OH * margin_frac), int(OW * margin_frac)
+    oy = rs.randint(m_y, max(OH - oh - m_y, m_y + 1))
+    ox = rs.randint(m_x, max(OW - ow - m_x, m_x + 1))
     ry = np.arange(oh, dtype=np.float64)[:, None]
     rx = np.arange(ow, dtype=np.float64)[None, :]
-    z0 = rs.uniform(620.0, 780.0)
     zs = (z0 + rs.uniform(15, 30) * np.sin(ry / rs.uniform(18, 30))
           + rs.uniform(12, 25) * np.cos(rx / rs.uniform(20, 35))
           + rs.uniform(0.2, 0.5) * ry + rs.uniform(0.2, 0.5) * rx)
@@ -97,40 +159,87 @@ def make_canonical(rs, hw, K):
     ys, xs, z = ys.ravel(), xs.ravel(), zs.ravel()
     pts = np.stack([(xs - K[0, 2]) * z / K[0, 0],
                     (ys - K[1, 2]) * z / K[1, 1], z], 1)  # mm
-    tex = rs.rand(oh * ow, 3) * 0.7 + 0.25
-    # grid for the val-split render mesh (stride keeps triangle footprints
-    # under the tile-8 rasterizer guard: ~4px edges at these depths)
-    grid_shape = (oh, ow)
-    return pts, tex, grid_shape
+    return pts, (oh, ow)
 
 
-def render_view(pts_mm, tex, T, rs, hw, K):
-    """Rigid-move canonical surface, z-buffer splat depth+texture."""
+def make_canonical(rs, hw, K, cat_idx, poor):
+    """Canonical textured target surface (points mm in view-0 camera frame)."""
+    pts, grid = _surface(rs, hw, K, 0.19, 0.32, rs.uniform(620.0, 780.0),
+                         1.0 / 8.0)
+    tex = make_texture(rs, grid[0], grid[1], cat_idx, poor)
+    return pts, tex, grid
+
+
+def make_distractors(rs, hw, K, target_cat, z_ref):
+    """1-3 clutter patches from OTHER categories, anywhere in frame (may
+    occlude the target: z is sampled around the target depth)."""
+    out = []
+    for _ in range(rs.randint(1, 4)):
+        cat = rs.randint(len(CATEGORIES) - 1)
+        if cat >= target_cat:
+            cat += 1
+        z0 = z_ref + rs.uniform(-140.0, 200.0)
+        pts, grid = _surface(rs, hw, K, 0.10, 0.22, z0, 0.02)
+        out.append((pts, make_texture(rs, grid[0], grid[1], cat, False)))
+    return out
+
+
+def render_scene(tgt_pts, tgt_tex, T, distractors, rs, hw, K):
+    """Rigid-move the target, z-buffer splat target + distractors.
+
+    Returns (depth mm, target-only mask, rgb, per-canonical-target-point
+    pixel coords + visibility, visible fraction)."""
     OH, OW = hw
-    p = pts_mm / 1000.0 @ T[:3, :3].T + T[:3, 3]
-    z_mm = p[:, 2] * 1000.0
-    u = p[:, 0] / p[:, 2] * K[0, 0] + K[0, 2]
-    v = p[:, 1] / p[:, 2] * K[1, 1] + K[1, 2]
-    in_frame = (u >= 1) & (u < OW - 1) & (v >= 1) & (v < OH - 1) & (z_mm > 1)
+    p_t = (tgt_pts / 1000.0 @ T[:3, :3].T + T[:3, 3]) * 1000.0  # mm
+    n_t = p_t.shape[0]
+    pts_all = [p_t] + [d[0] for d in distractors]
+    tex_all = [tgt_tex] + [d[1] for d in distractors]
+    P = np.concatenate(pts_all, 0)
+    TX = np.concatenate(tex_all, 0)
+
+    z = P[:, 2]
+    u = P[:, 0] / z * K[0, 0] + K[0, 2]
+    v = P[:, 1] / z * K[1, 1] + K[1, 2]
+    in_frame = (u >= 1) & (u < OW - 1) & (v >= 1) & (v < OH - 1) & (z > 1)
     ui = np.clip(np.round(u).astype(int), 0, OW - 1)
     vi = np.clip(np.round(v).astype(int), 0, OH - 1)
 
     depth = np.full((OH, OW), np.inf, np.float32)
-    mask = np.zeros((OH, OW), np.uint8)
-    rgb = (rs.rand(OH, OW, 3) * 0.35).astype(np.float32)
-    uin, vin, zin = ui[in_frame], vi[in_frame], z_mm[in_frame]
+    uin, vin, zin = ui[in_frame], vi[in_frame], z[in_frame]
     for dv in (-1, 0, 1):
         for du in (-1, 0, 1):
             vv = np.clip(vin + dv, 0, OH - 1)
             uu = np.clip(uin + du, 0, OW - 1)
             np.minimum.at(depth, (vv, uu), zin.astype(np.float32))
-            mask[vv, uu] = 1
-    order = np.argsort(-zin)
-    rgb[vin[order], uin[order]] = tex[in_frame][order]
+
+    # background: smooth gradient field with brightness overlapping the
+    # objects — no threshold shortcut for segmentation
+    yy, xx = np.mgrid[0:OH, 0:OW].astype(np.float64)
+    bg = (0.45
+          + 0.22 * np.sin(yy / rs.uniform(25, 70) + rs.uniform(0, 6.3))
+          * np.cos(xx / rs.uniform(25, 70) + rs.uniform(0, 6.3))
+          + 0.10 * np.sin((yy + xx) / rs.uniform(40, 90) + rs.uniform(0, 6.3))
+          + 0.12 * (rs.rand(OH, OW) - 0.5))
+    tint = rs.uniform(0.75, 1.05, 3)
+    rgb = np.clip(bg[..., None] * tint[None, None, :], 0.02, 1.0).astype(
+        np.float32)
+    order = np.argsort(-zin)  # far -> near: nearest surface paints last
+    rgb[vin[order], uin[order]] = TX[in_frame][order]
+
+    # per-canonical-target-point visibility (z-buffer 2 mm agreement:
+    # handles self-occlusion AND distractor occlusion)
+    vi_t, ui_t = vi[:n_t], ui[:n_t]
+    vis = in_frame[:n_t] & (np.abs(depth[vi_t, ui_t] - p_t[:, 2]) < 2.0)
+
+    # target-only mask: splat of VISIBLE target points
+    mask = np.zeros((OH, OW), np.uint8)
+    uv, vv_ = ui_t[vis], vi_t[vis]
+    for dv in (-1, 0, 1):
+        for du in (-1, 0, 1):
+            mask[np.clip(vv_ + dv, 0, OH - 1), np.clip(uv + du, 0, OW - 1)] = 1
+
     depth = np.where(np.isinf(depth), 0.0, depth)
-    # per-canonical-point visibility + pixel location in this view
-    vis = in_frame & (np.abs(depth[vi, ui] - z_mm) < 2.0)
-    return depth, mask, rgb, vi, ui, vis, in_frame.mean()
+    return depth, mask, rgb, vi_t, ui_t, vis, vis.mean()
 
 
 def save_view(root, img_id, depth, mask, rgb, pose, cls_id, K):
@@ -167,27 +276,33 @@ def main(argv):
     splits = {"train": ([], {}), "val": ([], {})}
     img_id = 0
     total = n_objects + n_val_objects
+    rel_angles, vis_fracs = [], []
 
     for oid in range(total):
         split = "train" if oid < n_objects else "val"
-        cat, lemmas = CATEGORIES[oid % len(CATEGORIES)]
+        cat_idx = oid % len(CATEGORIES)
+        cat, lemmas = CATEGORIES[cat_idx]
         name = f"obj{oid:05d}"
         meta_lines.append(f'wss.{name},0,{cat},"{lemmas}",{name}_model,0\n')
         objnm2clsid[f"{name}_0"] = oid
 
         hw = TRAIN_HW if split == "train" else VAL_HW
         Kc = cam_for(hw)
-        pts, tex, grid = make_canonical(rs, hw, Kc)
+        poor = rs.rand() < TEXTURE_POOR_FRAC
+        pts, tex, grid = make_canonical(rs, hw, Kc, cat_idx, poor)
+        z_ref = float(np.median(pts[:, 2]))
         view_data = []
         for vI in range(views):
+            kind = "rot" if vI % 2 == 1 else "shift"
             for attempt in range(25):
                 T = (np.eye(4) if vI == 0 else
-                     _random_pose(rs, 0.45 / (1 + attempt * 0.2),
-                                  0.07 / (1 + attempt * 0.3)))
-                depth, mask, rgb, vi, ui, vis, frac = render_view(
-                    pts, tex, T, rs, hw, Kc)
-                if frac > 0.93:
+                     _view_pose(rs, kind, 1.0 / (1 + attempt * 0.15)))
+                dists = make_distractors(rs, hw, Kc, cat_idx, z_ref)
+                depth, mask, rgb, vi, ui, vis, frac = render_scene(
+                    pts, tex, T, dists, rs, hw, Kc)
+                if frac > 0.55:
                     break
+            vis_fracs.append(frac)
             annots_gt[img_id] = save_view(root, img_id, depth, mask, rgb, T,
                                           oid, Kc)
             view_data.append((img_id, T, vi, ui, vis))
@@ -215,23 +330,33 @@ def main(argv):
                                 mesh_faces=np.asarray(faces, np.int32),
                                 diameter=np.float32(d))
 
-        # pairs among this object's views (ordered, no self-pairs)
+        # pairs among this object's views (ordered, no self-pairs); only
+        # combos that keep >=100 co-visible GT corrs survive occlusion +
+        # the large pose deltas (reference >=100-corr filter,
+        # make_nocs_test.py:237)
         lines, annots = splits[split]
         n_pairs = pairs_per_obj if split == "train" else val_pairs_per_obj
         combos = [(i, j) for i in range(views) for j in range(views) if i != j]
-        pick = rs.choice(len(combos), min(n_pairs, len(combos)), replace=False)
+        good = []
+        for i, j in combos:
+            co = view_data[i][4] & view_data[j][4]
+            if int(co.sum()) >= 100:
+                good.append((i, j))
+        if not good:
+            continue
+        pick = rs.choice(len(good), min(n_pairs, len(good)), replace=False)
         for ci in pick:
-            i, j = combos[ci]
+            i, j = good[ci]
             (ia, Ta, va, ua, visa) = view_data[i]
             (iq, Tq, vq, uq, visq) = view_data[j]
             co = visa & visq
             idx = np.nonzero(co)[0]
-            if len(idx) < 100:
-                continue
             if len(idx) > max_corrs:
                 idx = idx[rs.choice(len(idx), max_corrs, replace=False)]
             corrs = np.stack([va[idx], ua[idx], vq[idx], uq[idx]], 1).astype(np.int32)
             rel = Tq @ np.linalg.inv(Ta)
+            rel_angles.append(np.degrees(np.arccos(
+                np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1))))
             rel_mm = rel.copy()
             rel_mm[:3, 3] *= 1000.0
             key = f"0_{ia}_0_{iq}_{oid}_{oid}"
@@ -258,6 +383,11 @@ def main(argv):
         with open(join(d, "tracked.txt"), "w") as f:
             f.writelines(lines[: min(3, len(lines))])
         print(f"{split}: {len(lines)} pairs")
+    if rel_angles:
+        a = np.asarray(rel_angles)
+        print(f"relative rotation: mean {a.mean():.1f} deg, p10 "
+              f"{np.percentile(a, 10):.1f}, p90 {np.percentile(a, 90):.1f}")
+    print(f"target visible fraction: mean {np.mean(vis_fracs):.2f}")
     print(f"wrote {img_id} images under {root}")
 
 
