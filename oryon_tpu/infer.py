@@ -211,20 +211,12 @@ class OryonPredictor:
         # multi-chip serving: shard each request batch over the data axis
         # (replicated params; optional TP axis), same policy as run_test.py
         B = int(batch_size or cfg.dataset.batch_size)
-        mesh = None
-        if len(jax.devices()) > 1:
-            from oryon_tpu.parallel import make_mesh
-            mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
-            if B % mesh.shape["data"] != 0:
-                print(f"WARNING: batch_size {B} not divisible by data axis "
-                      f"{mesh.shape['data']}; serving single-device")
-                mesh = None
-        if mesh is not None:
-            if cfg.mesh.model > 1:
-                from oryon_tpu.parallel.tp import shard_params_tp
-                params = shard_params_tp(params, mesh)
-            print(f"serving mesh: data={mesh.shape['data']} "
-                  f"model={mesh.shape['model']}")
+        from oryon_tpu.parallel import serving_mesh
+        mesh = serving_mesh(cfg.mesh.data, cfg.mesh.model, B,
+                            label="serving")
+        if mesh is not None and cfg.mesh.model > 1:
+            from oryon_tpu.parallel.tp import shard_params_tp
+            params = shard_params_tp(params, mesh)
         return cls(model, params, batch_size=B,
                    img_size=cfg.dataset.img_size, depth_hw=depth_hw,
                    mask_source=cfg.test.mask,

@@ -15,6 +15,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -74,12 +75,14 @@ class MultiHeadAttention(nn.Module):
         caller to pre-pad L to a lane multiple (seg argument).
       * "auto": einsum (safe everywhere, incl. masked/causal attention).
 
-    ``seg`` MUST be batch-uniform padding segment ids ([B, L] with identical
-    rows, or [L]): the fused kernel derives ONE key mask from row 0 —
-    correct for ClipVisionTower's own length-padding (same L for the whole
-    batch), silently WRONG for per-sample segments.  Not verifiable under
-    jit (seg is traced), so this is an API contract, not a runtime check:
-    callers with per-sample padding must use attn_impl="auto".
+    ``seg`` MUST be batch-uniform padding segment ids.  The canonical form
+    is a 1-D [L] vector (what ClipVisionTower passes) — batch-uniform by
+    construction, jit-safe.  The fused kernel derives ONE key mask from it;
+    per-sample segments would be silently wrong, so the contract is
+    ENFORCED at trace time: a 2-D [B, L] seg is accepted only as a concrete
+    (non-traced) array with identical rows; any traced 2-D seg — whose
+    values cannot be inspected — raises immediately.  Callers with genuine
+    per-sample padding must use attn_impl="auto".
     """
 
     width: int
@@ -104,6 +107,22 @@ class MultiHeadAttention(nn.Module):
             if seg is not None:
                 # batch-uniform padding only (see class docstring): the
                 # kernel takes ONE [L] key mask for the whole batch
+                if seg.ndim == 2:
+                    if isinstance(seg, jax.core.Tracer):
+                        raise ValueError(
+                            "attn_impl='fused' needs batch-uniform seg: pass "
+                            "a 1-D [L] vector (jit-safe) or a concrete "
+                            "[B, L] array with identical rows; a traced "
+                            "[B, L] seg cannot be verified (use "
+                            "attn_impl='auto').")
+                    seg_np = np.asarray(seg)
+                    if not (seg_np == seg_np[:1]).all():
+                        raise ValueError(
+                            "attn_impl='fused' got per-sample segment ids "
+                            "(rows differ); use attn_impl='auto'.")
+                elif seg.ndim != 1:
+                    raise ValueError(f"seg must be [L] or [B, L], got "
+                                     f"shape {seg.shape}")
                 seg_row = seg if seg.ndim == 1 else seg[0]
                 kmask = jnp.where(seg_row > 0, 0.0, -1e9).astype(jnp.float32)
             else:
@@ -119,7 +138,10 @@ class MultiHeadAttention(nn.Module):
             from oryon_tpu.ops.flash import flash_mha, flash_mha_padded
             if seg is not None:
                 # sequence pre-padded by the tower; no per-layer pad/slice
-                out = flash_mha_padded(q, k, v, hd ** -0.5, seg)
+                # (kernel wants [B, L] segment ids; canonical seg is [L])
+                seg2 = (jnp.broadcast_to(seg, (B, L)) if seg.ndim == 1
+                        else seg)
+                out = flash_mha_padded(q, k, v, hd ** -0.5, seg2)
             else:
                 out = flash_mha(q, k, v, hd ** -0.5)
         elif self.attn_impl == "noattn":
@@ -230,9 +252,9 @@ class ClipVisionTower(nn.Module):
             # ~4.3 ms/call on this stack — traced, see BASELINE.md)
             Lp = -(-L // 128) * 128
             x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
-            seg = jnp.concatenate(
-                [jnp.ones((B, L), jnp.int32),
-                 jnp.zeros((B, Lp - L), jnp.int32)], axis=-1)
+            # 1-D [Lp] segment ids: batch-uniform BY SHAPE, so the fused
+            # path's trace-time contract check passes under jit
+            seg = (jnp.arange(Lp) < L).astype(jnp.int32)
         x = _run_blocks(x, None, c.width, c.heads, c.layers, self.dtype,
                         self.scan_layers, c.attn_impl, seg=seg, quant=c.quant)
         toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:L, :])

@@ -1,1 +1,2 @@
-from oryon_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from oryon_tpu.parallel.mesh import (make_mesh, serving_mesh, shard_batch,
+                                     replicate)

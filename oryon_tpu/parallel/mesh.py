@@ -26,6 +26,42 @@ def make_mesh(n_data: int = -1, n_model: int = 1,
     return Mesh(use, axis_names=("data", "model"))
 
 
+def serving_mesh(n_data: int, n_model: int, batch_size: int,
+                 label: str = "eval") -> Optional[Mesh]:
+    """Mesh-selection policy shared by the eval/serving entry points
+    (run_test.py, OryonPredictor.from_config): decide whether this process
+    can shard request batches over a ``data`` axis, falling back to
+    single-device with a WARNING instead of crashing when it can't.
+
+    Fallback cases (all return None):
+      * single-device host;
+      * the configured mesh (data*model) needs more devices than the host
+        has — e.g. a training config with mesh.data=8 served on a 4-chip
+        host (previously an opaque numpy reshape ValueError in make_mesh);
+      * batch_size not divisible by the data axis.
+
+    Callers with ``n_model > 1`` still apply shard_params_tp themselves.
+    """
+    n_dev = len(jax.devices())
+    if n_dev <= 1:
+        return None
+    n_model = max(1, n_model)
+    eff_data = n_data if n_data != -1 else n_dev // n_model
+    if eff_data < 1 or eff_data * n_model > n_dev:
+        print(f"WARNING: mesh data={n_data} model={n_model} needs "
+              f"{max(eff_data, 1) * n_model} devices but only {n_dev} "
+              f"available; running single-device")
+        return None
+    mesh = make_mesh(n_data, n_model)
+    if batch_size % mesh.shape["data"] != 0:
+        print(f"WARNING: batch_size {batch_size} not divisible by data axis "
+              f"{mesh.shape['data']}; running single-device")
+        return None
+    print(f"{label} mesh: data={mesh.shape['data']} "
+          f"model={mesh.shape['model']}")
+    return mesh
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -464,6 +464,7 @@ def run_test_epoch(
     viz_dir=None,
     loader=None,
     drain_lookahead: int = 3,
+    step_profiler=None,
 ):
     """Host loop: iterate batches, run the device pipeline, register metrics
     (reference test_step + on_test_end, pipeline.py:306-370).
@@ -526,9 +527,13 @@ def run_test_epoch(
                 break
             key, sub = jax.random.split(key)
             q.put((bi, nxt, dispatch(nxt, sub)))
+            if step_profiler is not None:
+                step_profiler.step()
     finally:
         q.put(None)
         t.join()
+        if step_profiler is not None:
+            step_profiler.close()
     if state["err"] is not None:
         raise state["err"]
     return state["n"]

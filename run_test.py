@@ -103,19 +103,12 @@ def main(argv):
     )
     # multi-chip eval: shard the batch over the data axis (replicated
     # params; optional TP axis reuses the train-time param shardings)
-    mesh = None
-    if len(jax.devices()) > 1:
-        from oryon_tpu.parallel import make_mesh
-        mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
-        if cfg.dataset.batch_size % mesh.shape["data"] != 0:
-            print(f"WARNING: batch_size {cfg.dataset.batch_size} not divisible"
-                  f" by data axis {mesh.shape['data']}; running single-device")
-            mesh = None
-    if mesh is not None:
-        if cfg.mesh.model > 1:
-            from oryon_tpu.parallel.tp import shard_params_tp
-            state = state.replace(params=shard_params_tp(state.params, mesh))
-        print(f"eval mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
+    from oryon_tpu.parallel import serving_mesh
+    mesh = serving_mesh(cfg.mesh.data, cfg.mesh.model,
+                        cfg.dataset.batch_size, label="eval")
+    if mesh is not None and cfg.mesh.model > 1:
+        from oryon_tpu.parallel.tp import shard_params_tp
+        state = state.replace(params=shard_params_tp(state.params, mesh))
     pipe = build_pipeline(model, state.params, pcfg, pointdsc, mesh=mesh)
 
     ev = Evaluator(cfg.exp_tag, compute_vsd=cfg.compute_vsd,
@@ -141,11 +134,16 @@ def main(argv):
         os.makedirs(viz_dir, exist_ok=True)
     from oryon_tpu.data.loader import PrefetchLoader
     loader = PrefetchLoader(ds, cfg.dataset.batch_size, sort_by_class=True)
+    # cfg.profiler: one trace window over eval batches 10-14 (reference
+    # gates its profiler on the same flag, run_train.py:55-58)
+    from oryon_tpu.utils.profiling import StepProfiler
+    profiler = StepProfiler(cfg.profiler, os.path.join(rdir, "profile"))
     with open(os.path.join(rdir, tag + ".csv"), "w") as csv_fp:
         n = run_test_epoch(pipe, ds, ev, cfg.dataset.batch_size, key,
                            csv_fp=csv_fp, compute_vsd=cfg.compute_vsd,
                            text_cache=text_cache, save_hook=save_hook,
-                           viz_dir=viz_dir, loader=loader)
+                           viz_dir=viz_dir, loader=loader,
+                           step_profiler=profiler)
     with open(os.path.join(rdir, tag + ".json"), "w") as f:
         ev.save(f)
     for row in ev.test_summary():

@@ -183,12 +183,19 @@ def main(argv):
         process_index=jax.process_index(), process_count=jax.process_count(),
         train=True)
 
+    # cfg.profiler: one trace window over train steps 10-14 (reference
+    # gates its profiler on the same flag, run_train.py:55-58)
+    from oryon_tpu.utils.profiling import StepProfiler
+    profiler = StepProfiler(cfg.profiler, os.path.join(logs_dir(cfg),
+                                                       "profile"))
+
     for epoch in range(start_epoch, cfg.training.n_epochs):
         for bi, batch in enumerate(train_loader):
             key, sub = jax.random.split(key)
             batch = batch._replace(text_emb=text_cache(batch.prompt_ids))
             batch = shard_batch(train_fields(batch), mesh)
             state, metrics = step_fn(state, batch, sub)
+            profiler.step()
             if bi % 10 == 0:
                 logger.log_step(int(state.step), metrics, prefix="train")
                 # NaN guard (reference prints in the loss, losses.py:113-118;
@@ -214,8 +221,10 @@ def main(argv):
                 print(f"saved {save_checkpoint(cfg, epoch, state)}")
             print(f"host RSS {_rss_gib():.1f} GiB > {rss_cap} GiB "
                   "(relay H2D leak) — re-exec + resume")
+            profiler.close()
             logger.close()
             _reexec_resume(argv)
+    profiler.close()
     logger.close()
 
 

@@ -145,6 +145,14 @@ def install_shims() -> None:
         pytz.timezone = lambda name: pytz.utc
         sys.modules["pytz"] = pytz
 
+    if "ftfy" not in sys.modules:
+        # reference models/tokenizer.py:7 imports ftfy for mojibake repair;
+        # identity is exact for the clean ASCII/UTF-8 strings the parity
+        # tests feed (the repo tokenizer treats absent ftfy the same way)
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+
     if "easydict" not in sys.modules:
         ed = types.ModuleType("easydict")
 

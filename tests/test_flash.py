@@ -107,3 +107,66 @@ def test_fused_mha_lanes_custom_vjp(rng):
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_fused_seg_contract_rejects_per_sample(rng):
+    """MultiHeadAttention(attn_impl='fused') must fail LOUDLY on per-sample
+    segment ids (VERDICT r2 weak #5): the kernel derives ONE key mask from
+    row 0, so non-uniform [B, L] seg would be silently wrong.  The guard
+    fires at trace time; the jit-safe canonical form is a 1-D [L] vector
+    (batch-uniform by shape), which is what ClipVisionTower passes."""
+    import pytest
+    from oryon_tpu.models.clip import MultiHeadAttention
+
+    B, L, D, H = 2, 128, 32, 2
+    m = MultiHeadAttention(width=D, heads=H, dtype=jnp.float32,
+                           attn_impl="fused")
+    x = jnp.array(rng.randn(B, L, D).astype(np.float32))
+    uniform = jnp.concatenate(
+        [jnp.ones((B, 100), jnp.int32), jnp.zeros((B, L - 100), jnp.int32)],
+        axis=-1)
+    params = m.init(jax.random.PRNGKey(0), x, None, uniform)
+
+    # concrete per-sample rows -> rejected with a clear message
+    per_sample = np.asarray(uniform).copy()
+    per_sample[1, :50] = 0
+    with pytest.raises(ValueError, match="per-sample"):
+        m.apply(params, x, None, jnp.array(per_sample))
+
+    # traced 2D seg -> rejected even if values are uniform (uninspectable)
+    with pytest.raises(ValueError, match="batch-uniform"):
+        jax.jit(lambda p, x, s: m.apply(p, x, None, s))(params, x, uniform)
+
+    # constant-BUILT [B, L] inside jit is STILL a tracer -> also rejected
+    # (this is why the tower passes a 1-D seg)
+    with pytest.raises(ValueError, match="batch-uniform"):
+        jax.jit(lambda p, x: m.apply(
+            p, x, None, jnp.concatenate(
+                [jnp.ones((B, 100), jnp.int32),
+                 jnp.zeros((B, L - 100), jnp.int32)], -1)))(params, x)
+
+    # 3D seg -> rejected
+    with pytest.raises(ValueError, match="seg must be"):
+        m.apply(params, x, None, uniform[None])
+
+    # the supported forms still trace: 1-D [L] (tower style, even as a
+    # tracer inside jit) and concrete uniform [B, L]
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        o1 = m.apply(params, x, None, uniform[0])
+
+        @jax.jit
+        def tower_style(p, x):
+            seg = (jnp.arange(L) < 100).astype(jnp.int32)
+            return m.apply(p, x, None, seg)
+
+        o2 = tower_style(params, x)
+        o3 = m.apply(params, x, None, uniform)  # concrete [B, L], uniform
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o3),
+                                   atol=1e-5, rtol=1e-5)
+    finally:
+        pl.pallas_call = orig

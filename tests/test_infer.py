@@ -94,27 +94,33 @@ def test_predict_mesh_data_parallel_matches_single_device(engine):
     from oryon_tpu.parallel import make_mesh
 
     mesh = make_mesh(len(jax.devices()), 1)
-    sharded = OryonPredictor(engine.model, engine.params,
-                             batch_size=len(jax.devices()),
-                             img_size=IMG_HW, depth_hw=DEPTH_HW,
-                             solver="ransac", n_corrs=64, mesh=mesh,
-                             tokenize_fn=_fake_tokenize)
+    B = len(jax.devices())
+    kw = dict(batch_size=B, img_size=IMG_HW, depth_hw=DEPTH_HW,
+              solver="ransac", n_corrs=64, tokenize_fn=_fake_tokenize)
+    sharded = OryonPredictor(engine.model, engine.params, mesh=mesh, **kw)
+    # same batch size, no mesh: identical chunking AND identical per-chunk
+    # RNG stream, so a sharding bug (e.g. wrong batch axis in the solver
+    # path) cannot hide behind chunk-RNG differences — poses must match.
+    unsharded = OryonPredictor(engine.model, engine.params, mesh=None, **kw)
     rs = np.random.RandomState(4)
-    reqs = [_request(rs, "mug") for _ in range(len(jax.devices()))]
+    reqs = [_request(rs, "mug") for _ in range(B)]
     got = sharded.predict(reqs)
-    rs = np.random.RandomState(4)
-    reqs = [_request(rs, "mug") for _ in range(len(jax.devices()))]
-    want = engine.predict(reqs)  # B=2 engine: 4 chunks, same per-pair math
-    assert len(got) == len(want)
-    for g in got:
+    want = unsharded.predict(reqs)
+    assert len(got) == len(want) == B
+    for g, w in zip(got, want):
         T = np.asarray(g["pose"])
         assert T.shape == (4, 4) and np.isfinite(T).all()
         R = T[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
-    # the forward (masks -> detection gate) is deterministic and must agree
-    # across shardings/chunkings; poses may differ (per-chunk RNG streams)
+        assert g["detection_valid"] == w["detection_valid"]
+        assert g["n_corrs"] == w["n_corrs"]
+        np.testing.assert_allclose(np.asarray(g["pose"]),
+                                   np.asarray(w["pose"]), atol=1e-4)
+    # chunked engine (B=2 -> 4 chunks) still agrees on the deterministic
+    # forward (masks -> detection gate)
+    want2 = engine.predict(reqs)
     assert ([g["detection_valid"] for g in got]
-            == [w["detection_valid"] for w in want])
+            == [w["detection_valid"] for w in want2])
 
 
 def test_parse_camera_forms(tmp_path):
