@@ -106,7 +106,7 @@ class Evaluator:
             self.metrics[f"Recall ({r}deg, {t}cm)"] = []
         # learning-signal metrics (reference compute_fmr,
         # utils/metrics.py:59-77): registered per live pair by the pipeline
-        for k in ("FMR", "Inlier rate"):
+        for k in ("FMR", "Inlier rate", "Feat ratio"):
             self.metrics[k] = []
 
     def init_test(self):
@@ -272,14 +272,22 @@ class Evaluator:
         self.metrics["cls_id"].append(cls_id)
         self.metrics["instance_id"].append(instance_id)
 
-    def register_signal(self, fmr_vals, inlier_vals):
+    def register_signal(self, fmr_vals, inlier_vals, feat_ratio_vals=None):
         """Learning-signal metrics per live pair: FMR at GT corrs + the
         geometric inlier rate of predicted matches (computed on-device by
-        the pipeline; reference compute_fmr, utils/metrics.py:59-77)."""
+        the pipeline; reference compute_fmr, utils/metrics.py:59-77).
+
+        ``feat_ratio_vals``: the continuous feature inlier RATIO behind the
+        binary FMR — the discriminative curve (binary FMR saturates at 1.0
+        even untrained when features are smooth)."""
         self.metrics["FMR"].extend(
             np.atleast_1d(np.asarray(fmr_vals, np.float64)).tolist())
         self.metrics["Inlier rate"].extend(
             np.atleast_1d(np.asarray(inlier_vals, np.float64)).tolist())
+        if feat_ratio_vals is not None:
+            self.metrics["Feat ratio"].extend(
+                np.atleast_1d(np.asarray(feat_ratio_vals,
+                                         np.float64)).tolist())
 
     # -- summaries ---------------------------------------------------------
     def get_means(self) -> Dict[str, float]:

@@ -101,12 +101,19 @@ def fmr(
     dist_th: float,
     inlier_th: float,
     w: jnp.ndarray = None,
+    return_ratio: bool = False,
 ) -> jnp.ndarray:
     """Feature-match recall over (..., N, D) matched feature sets
     (reference compute_fmr, utils/metrics.py:59-77).
 
     ``w`` (..., N): optional 0/1 validity weights so fixed-capacity padded
-    correspondence buffers score like exact-size ones."""
+    correspondence buffers score like exact-size ones.
+
+    ``return_ratio``: also return the per-set feature inlier RATIO.  The
+    binary recall saturates early (any featmap where >inlier_th of GT-corr
+    pairs sit within dist_th scores 1.0 — true even for an untrained
+    network whose features are smooth); the continuous ratio is the
+    discriminative learning-signal curve."""
     cos = jnp.sum(
         _unit(feats1) * _unit(feats2), axis=-1
     )
@@ -118,7 +125,10 @@ def fmr(
         w = w.astype(jnp.float32)
         inlier_ratio = jnp.sum(inl * w, axis=-1) / jnp.maximum(
             jnp.sum(w, axis=-1), 1.0)
-    return (inlier_ratio > inlier_th).astype(jnp.float32)
+    recall = (inlier_ratio > inlier_th).astype(jnp.float32)
+    if return_ratio:
+        return recall, inlier_ratio
+    return recall
 
 
 

@@ -66,13 +66,16 @@ class PipelineOutputs(NamedTuple):
     mask_q: jnp.ndarray
     corrs: jnp.ndarray            # [B, N, 4] featmap-frame correspondences
     corr_valid: jnp.ndarray       # [B, N]
-    packed: jnp.ndarray = None    # [B, 38] f32: rel(16) | abs(16) | n_corrs
+    packed: jnp.ndarray = None    # [B, 39] f32: rel(16) | abs(16) | n_corrs
                                   # | det | iou_a | iou_q | fmr | inlier_rate
+                                  # | feat_ratio
                                   # — the host loop's whole per-batch read in
                                   # ONE fetch (device->host copies cost
                                   # ~25 ms each through the relay)
     fmr: jnp.ndarray = None          # [B] feature-match recall at GT corrs
     inlier_rate: jnp.ndarray = None  # [B] predicted-match geometric inliers
+    feat_ratio: jnp.ndarray = None   # [B] continuous feature inlier ratio
+                                     # (the discriminative curve behind FMR)
 
 
 def _lift_corrs(
@@ -269,8 +272,9 @@ def build_pipeline(
         bidx = jnp.arange(B)[:, None]
         feats_gt_a = out.featmap_a[bidx, sig_fc[..., 0], sig_fc[..., 1]]
         feats_gt_q = out.featmap_q[bidx, sig_fc[..., 2], sig_fc[..., 3]]
-        fmr_v = _fmr(feats_gt_a, feats_gt_q, cfg.fmr_dist_th,
-                     cfg.fmr_inlier_th, w=batch.corr_valid)
+        fmr_v, feat_ratio = _fmr(feats_gt_a, feats_gt_q, cfg.fmr_dist_th,
+                                 cfg.fmr_inlier_th, w=batch.corr_valid,
+                                 return_ratio=True)
 
         rel_gt = (batch.rel_pose if batch.rel_pose is not None
                   else jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
@@ -307,6 +311,7 @@ def build_pipeline(
             iou_q.reshape(B, 1).astype(jnp.float32),
             fmr_v.reshape(B, 1).astype(jnp.float32),
             inlier_rate.reshape(B, 1).astype(jnp.float32),
+            feat_ratio.reshape(B, 1).astype(jnp.float32),
         ], axis=1)
         return PipelineOutputs(
             pred_rel_pose=T_rel, pred_pose=pred_q,
@@ -315,6 +320,7 @@ def build_pipeline(
             mask_a=pred_mask_a, mask_q=pred_mask_q,
             corrs=corrs_yx, corr_valid=corr_valid,
             packed=packed, fmr=fmr_v, inlier_rate=inlier_rate,
+            feat_ratio=feat_ratio,
         )
 
     from oryon_tpu.data.pair_batch import device_fields
@@ -556,6 +562,7 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
         iou_q = packed[:, 35]
         fmr_v = packed[:, 36] if packed.shape[1] > 36 else None
         inl_v = packed[:, 37] if packed.shape[1] > 37 else None
+        ratio_v = packed[:, 38] if packed.shape[1] > 38 else None
     else:
         det = np.asarray(out.detection_valid)
         n_corrs = np.asarray(out.n_corrs)
@@ -566,6 +573,8 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
         fmr_v = np.asarray(out.fmr) if out.fmr is not None else None
         inl_v = (np.asarray(out.inlier_rate)
                  if out.inlier_rate is not None else None)
+        ratio_v = (np.asarray(out.feat_ratio)
+                   if getattr(out, "feat_ratio", None) is not None else None)
     valid = np.asarray(batch.valid)
     gt_pose_q = np.asarray(batch.query.pose)
     cameras = np.asarray(batch.query.camera).reshape(B, 3, 3)
@@ -594,7 +603,9 @@ def _register_batch(evaluator, batch, out, csv_fp, compute_vsd):
             and "FMR" in evaluator.metrics):
         live = [i for i in range(B) if valid[i] != 0]
         if live:
-            evaluator.register_signal(fmr_v[live], inl_v[live])
+            evaluator.register_signal(
+                fmr_v[live], inl_v[live],
+                ratio_v[live] if ratio_v is not None else None)
     for i in range(B):
         if valid[i] == 0:  # padding rows
             continue

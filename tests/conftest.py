@@ -45,3 +45,8 @@ def random_pose(rs: np.random.RandomState, t_scale: float = 0.5) -> np.ndarray:
     T[:3, :3] = Q
     T[:3, 3] = rs.randn(3) * t_scale
     return T
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: subprocess-driven CLI tests (minutes on 1 core)")

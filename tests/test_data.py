@@ -19,75 +19,10 @@ from oryon_tpu.models.tokenizer import ClipTokenizer
 # ---------------------------------------------------------------- fixtures
 @pytest.fixture(scope="module")
 def nocs_root(tmp_path_factory):
-    """Generate a miniature REAL275-format dataset tree."""
-    rs = np.random.RandomState(0)
-    root = str(tmp_path_factory.mktemp("nocs"))
-    from PIL import Image
+    """Generate a miniature REAL275-format dataset tree (tests/_fixtures)."""
+    from tests._fixtures import make_nocs_tree
 
-    H, W = 60, 80
-    obj_name = "mug_1"
-    scenes = [(1, 0), (1, 1), (2, 0)]
-    for scene, img in scenes:
-        d = join(root, "split/real_test", f"scene_{scene}")
-        os.makedirs(d, exist_ok=True)
-        base = join(d, f"{img:04d}")
-        rgb = (rs.rand(H, W, 3) * 255).astype(np.uint8)
-        Image.fromarray(rgb).save(base + "_color.png")
-        mask = np.full((H, W), 255, np.uint8)
-        mask[20:40, 30:50] = 7  # mask id 7
-        Image.fromarray(mask).save(base + "_mask.png")
-        depth = (rs.rand(H, W) * 1000 + 500).astype(np.uint16)
-        Image.fromarray(depth).save(base + "_depth.png")
-        with open(base + "_meta.txt", "w") as f:
-            f.write(f"7 3 {obj_name}\n")
-        with open(base + "_detection.txt", "w") as f:
-            f.write("7 30 20 20 20\n")
-
-    os.makedirs(join(root, "gts", "real_test"), exist_ok=True)
-    for scene, img in scenes:
-        pose = np.eye(4)
-        pose[:3, 3] = [0.1 * scene, 0, 0.8]
-        with open(join(root, "gts", "real_test", f"results_real_test_{scene}_{img}.pkl"), "wb") as f:
-            pickle.dump({"gt_RTs": np.array([pose])}, f)
-
-    with open(join(root, "obj_names.json"), "w") as f:
-        json.dump({obj_name: ["mug", "cup", "coffee mug"]}, f)
-    with open(join(root, "templates.json"), "w") as f:
-        json.dump(["a photo of a {}", "a picture of a {}", "one {} in the scene"], f)
-
-    # object model files
-    od = join(root, "obj_models", "real_test")
-    os.makedirs(od, exist_ok=True)
-    V = np.array([[0, 0, 0], [0.05, 0, 0], [0, 0.05, 0], [0, 0, 0.05]])
-    F = np.array([[1, 2, 3], [1, 2, 4], [1, 3, 4], [2, 3, 4]])
-    np.savetxt(join(od, obj_name + "_vertices.txt"), V, fmt="%.6f")
-    np.savetxt(join(od, obj_name + "_normals.txt"), V, fmt="%.6f")
-    with open(join(od, obj_name + ".obj"), "w") as f:
-        for v in V:
-            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for face in F:
-            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
-    with open(join(od, "models_info.json"), "w") as f:
-        json.dump({obj_name: {"diameter": 86.6}}, f)
-
-    # fixed split: 2 pairs
-    sp = join(root, "fixed_split", "test_split")
-    os.makedirs(sp, exist_ok=True)
-    annots = {}
-    lines = []
-    rel = np.eye(4)
-    rel[:3, 3] = [100.0, 0, 0]  # mm
-    for (sa, ia), (sq, iq) in [((1, 0), (1, 1)), ((1, 0), (2, 0))]:
-        lines.append(f"test, {sa} {ia}, {sq} {iq}, 3 {obj_name}\n")
-        corrs = np.stack([
-            rs.randint(20, 40, 40), rs.randint(30, 50, 40),
-            rs.randint(20, 40, 40), rs.randint(30, 50, 40)], 1)
-        annots[f"{sa}_{ia}_{sq}_{iq}_3_{obj_name}"] = {"gt": rel.copy(), "corrs": corrs}
-    with open(join(sp, "instance_list.txt"), "w") as f:
-        f.writelines(lines)
-    with open(join(sp, "annots.pkl"), "wb") as f:
-        pickle.dump(annots, f)
-    return root
+    return make_nocs_tree(str(tmp_path_factory.mktemp("nocs")))
 
 
 # ---------------------------------------------------------------- tests
