@@ -199,8 +199,8 @@ class OryonPredictor:
         solver, pointdsc = cfg.test.solver, None
         if solver == "pointdsc":
             from oryon_tpu.pipeline import (build_pointdsc_solver,
-                                            pointdsc_snapshot_path)
-            if os.path.exists(pointdsc_snapshot_path(cfg.pretrained.pointdsc)):
+                                            pointdsc_weights_available)
+            if pointdsc_weights_available(cfg.pretrained.pointdsc):
                 pointdsc = build_pointdsc_solver(
                     cfg.pretrained.pointdsc, key, cfg.test.n_corrs)
             else:

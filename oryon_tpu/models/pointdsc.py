@@ -50,16 +50,18 @@ class PointDSCConfig:
 
 
 class BNDense(nn.Module):
-    """Dense + frozen BatchNorm (eval mode, running stats) + optional ReLU —
-    the conv1d(k=1)+BN1d+ReLU unit of the torch reference."""
+    """Dense + BatchNorm + optional ReLU — the conv1d(k=1)+BN1d+ReLU unit of
+    the torch reference.  Inference runs in eval mode (frozen running
+    stats); ``train=True`` (scripts/train_pointdsc.py) uses batch stats and
+    updates the running averages, the torch training semantics."""
 
     features: int
     relu: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.features, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         return jax.nn.relu(x) if self.relu else x
 
 
@@ -67,7 +69,8 @@ class NonLocalBlock(nn.Module):
     channels: int = 128
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, attention: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feat: jnp.ndarray, attention: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         """feat: [N, C]; attention: [N, N] spatial-consistency matrix."""
         C = self.channels
         Q = nn.Dense(C, name="projection_q")(feat)
@@ -76,8 +79,8 @@ class NonLocalBlock(nn.Module):
         feat_attn = (Q @ K.T) / jnp.sqrt(C * 1.0)
         weight = jax.nn.softmax(attention * feat_attn, axis=-1)
         message = weight @ V
-        message = BNDense(C // 2, name="fc1")(message)
-        message = BNDense(C // 2, name="fc2")(message)
+        message = BNDense(C // 2, name="fc1")(message, train)
+        message = BNDense(C // 2, name="fc2")(message, train)
         message = nn.Dense(C, name="fc3")(message)
         return feat + message
 
@@ -86,13 +89,15 @@ class NonLocalNet(nn.Module):
     cfg: PointDSCConfig
 
     @nn.compact
-    def __call__(self, corr_feat: jnp.ndarray, compat: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, corr_feat: jnp.ndarray, compat: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         """corr_feat: [N, in_dim]; compat: [N, N] -> [N, C]."""
         c = self.cfg
         feat = nn.Dense(c.num_channels, name="layer0")(corr_feat)
         for i in range(c.num_layers):
-            feat = BNDense(c.num_channels, name=f"pointcn_{i}")(feat)
-            feat = NonLocalBlock(c.num_channels, name=f"nonlocal_{i}")(feat, compat)
+            feat = BNDense(c.num_channels, name=f"pointcn_{i}")(feat, train)
+            feat = NonLocalBlock(c.num_channels, name=f"nonlocal_{i}")(
+                feat, compat, train)
         return feat
 
 
@@ -100,10 +105,12 @@ class PointDSC(nn.Module):
     cfg: PointDSCConfig = PointDSCConfig()
 
     @nn.compact
-    def __call__(self, src: jnp.ndarray, tgt: jnp.ndarray, valid: jnp.ndarray):
+    def __call__(self, src: jnp.ndarray, tgt: jnp.ndarray, valid: jnp.ndarray,
+                 train: bool = False):
         """src/tgt: [N, 3] matched points (meters); valid: [N] 0/1.
 
         Returns (T [4,4], inlier_labels [N], confidence [N]).
+        ``train=True`` runs BatchNorm on batch stats (training only).
         """
         c = self.cfg
         N = src.shape[0]
@@ -122,13 +129,19 @@ class PointDSC(nn.Module):
         compat = jnp.clip(1.0 - (src_dist - tgt_dist) ** 2 / c.sigma_d ** 2, 0.0)
         compat = compat * vv
 
-        feats = NonLocalNet(c, name="encoder")(corr_pos, compat)       # [N, C]
+        feats = NonLocalNet(c, name="encoder")(corr_pos, compat, train)  # [N, C]
         fn = _unit(feats)
 
         # confidence head (PointDSC.py:107-113,171)
         h = jax.nn.relu(nn.Dense(32, name="cls1")(feats))
         h = jax.nn.relu(nn.Dense(32, name="cls2")(h))
         confidence = nn.Dense(1, name="cls3")(h)[:, 0]
+        # training taps (scripts/train_pointdsc.py): raw logits before the
+        # -inf validity mask (BCE-safe) + unit features for the SM loss —
+        # the two supervision points of the PointDSC recipe
+        # (reference models/pointdsc/PointDSC.py:137-140).
+        self.sow("intermediates", "confidence_logits", confidence)
+        self.sow("intermediates", "features", fn)
         confidence = jnp.where(v > 0, confidence, -jnp.inf)
 
         seeds = pick_seeds(src_dist, confidence, c.nms_radius,

@@ -149,18 +149,55 @@ def pointdsc_snapshot_path(pretrained_dir: str) -> str:
         pretrained_dir, "snapshot/PointDSC_3DMatch_release/models/model_best.pkl")
 
 
-def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
-    """(model, variables) for the pretrained PointDSC registration module
-    (reference utils/pointdsc/init.py:32-57); random init when the snapshot
-    is absent (zero-egress sandbox)."""
+def pointdsc_native_path(pretrained_dir: str) -> str:
+    """Flax-native PointDSC weights (scripts/train_pointdsc.py output):
+    a flat npz of '/'-joined variable paths across all collections."""
     import os
 
-    from oryon_tpu.models import convert
+    return os.path.join(pretrained_dir, "native.npz")
+
+
+def pointdsc_weights_available(pretrained_dir: str) -> bool:
+    """True when trained PointDSC weights exist in either format — the
+    protocol-solver gate used by run_test/run_train/OryonPredictor (a
+    random-init solver network would produce pure-noise poses; the CLIs
+    fall back to RANSAC instead, unlike the reference which crashes on the
+    missing file, utils/pointdsc/init.py:32-57)."""
+    import os
+
+    return (os.path.exists(pointdsc_native_path(pretrained_dir))
+            or os.path.exists(pointdsc_snapshot_path(pretrained_dir)))
+
+
+def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
+    """(model, variables) for the pretrained PointDSC registration module
+    (reference utils/pointdsc/init.py:32-57).  Prefers a flax-native
+    ``native.npz`` (in-sandbox trained, scripts/train_pointdsc.py), then the
+    reference's torch snapshot via the weight converter; random init when
+    neither exists (zero-egress sandbox)."""
+    import os
+
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
 
-    pd = PointDSC(PointDSCConfig())
+    native = pointdsc_native_path(pretrained_dir)
     snapshot = pointdsc_snapshot_path(pretrained_dir)
-    if os.path.exists(snapshot):
+    pd = PointDSC(PointDSCConfig())
+    if os.path.exists(native):
+        import numpy as np
+        from flax.traverse_util import unflatten_dict
+
+        with np.load(native) as z:
+            flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+        pd_vars = unflatten_dict(flat)
+        # depth is recoverable from the tree (train_pointdsc.py may train
+        # shallower models than the reference's 6 blocks)
+        n_layers = len({k[2] for k in flat
+                        if k[:2] == ("params", "encoder")
+                        and k[2].startswith("pointcn_")})
+        if n_layers != pd.cfg.num_layers:
+            pd = PointDSC(PointDSCConfig(num_layers=n_layers))
+    elif os.path.exists(snapshot):
+        from oryon_tpu.models import convert
         pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
     else:
         print("WARNING: PointDSC snapshot not found; random init")

@@ -238,7 +238,7 @@ def run_validation(cfg, model, state, valid_ds, key, epoch, logger=None):
     from oryon_tpu.ops.matching import MatchParams
     from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
                                     build_pointdsc_solver,
-                                    pointdsc_snapshot_path, run_test_epoch)
+                                    pointdsc_weights_available, run_test_epoch)
 
     # validation uses the CONFIGURED solver so its pose metrics track test
     # behavior (reference validation_step, pipeline.py:196-247) — except
@@ -248,7 +248,7 @@ def run_validation(cfg, model, state, valid_ds, key, epoch, logger=None):
     solver = cfg.test.solver
     pointdsc = None
     if solver == "pointdsc":
-        if os.path.exists(pointdsc_snapshot_path(cfg.pretrained.pointdsc)):
+        if pointdsc_weights_available(cfg.pretrained.pointdsc):
             pointdsc = build_pointdsc_solver(cfg.pretrained.pointdsc, key,
                                              cfg.test.n_corrs)
         else:

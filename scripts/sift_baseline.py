@@ -64,7 +64,8 @@ def main(argv):
     ds = PairDataset(reader, cfg.dataset.test.split, ClipTokenizer(),
                      max_corrs=cfg.dataset.max_corrs,
                      img_size=cfg.dataset.img_size)
-    ev = Evaluator("SIFT", compute_vsd=cfg.compute_vsd)
+    ev = Evaluator("SIFT", compute_vsd=cfg.compute_vsd,
+                   vsd_window=cfg.eval.vsd_window)
     ev.add_object_info(reader.object_info())
     ev.init_test()
 

@@ -112,3 +112,45 @@ def test_pointdsc_few_valid_rows_below_k(rng):
     T_est, _, _ = model.apply(params, jnp.array(src), jnp.array(tgt),
                               jnp.array(valid))
     np.testing.assert_allclose(np.asarray(T_est), T, atol=5e-3)
+
+
+def test_train_pointdsc_learns_and_roundtrips(tmp_path, monkeypatch):
+    """In-sandbox PointDSC training (scripts/train_pointdsc.py): a short run
+    must reduce the classification loss and raise inlier accuracy above
+    chance, and the written native.npz must load back through
+    build_pointdsc_solver bit-exact (the protocol-solver path
+    run_test/run_train/serving gate on pointdsc_weights_available)."""
+    import io
+    import re
+    import sys as _sys
+    from contextlib import redirect_stdout
+
+    sys_path_root = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    _sys.path.insert(0, sys_path_root)
+    from scripts.train_pointdsc import main as train_main
+
+    out = str(tmp_path / "pdsc")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train_main([f"out={out}", "steps=150", "batch=4", "n=64", "lr=1e-3",
+                    "layers=2"])
+    text = buf.getvalue()
+    steps = re.findall(
+        r"step (\d+): loss ([\d.]+) bce ([\d.]+) sm ([\d.]+) inlier-acc ([\d.]+)",
+        text)
+    assert steps, text
+    first, last = steps[0], steps[-1]
+    assert float(last[2]) < float(first[2]), (first, last)  # bce falls
+    assert float(last[4]) > 0.6, last  # inlier accuracy above chance
+
+    from oryon_tpu.pipeline import (build_pointdsc_solver,
+                                    pointdsc_weights_available)
+    assert pointdsc_weights_available(out)
+    pd, variables = build_pointdsc_solver(out, KEY, 64)
+
+    rng = np.random.RandomState(3)
+    src, tgt, T, n_out = make_problem(rng, N=64, outlier_frac=0.3)
+    T_est, labels, conf = pd.apply(variables, jnp.array(src), jnp.array(tgt),
+                                   jnp.ones(64, jnp.float32))
+    np.testing.assert_allclose(np.asarray(T_est), T, atol=5e-3)
