@@ -177,3 +177,43 @@ def test_step_profiler_writes_trace(tmp_path):
         off.step()
     off.close()
     assert not os.path.exists(str(tmp_path / "prof_off"))
+
+
+def test_run_test_cli_pointdsc_native_snapshot(nocs_root, tmp_path, capsys):
+    """The PROTOCOL solver end-to-end at the CLI: an in-sandbox-trained
+    native PointDSC snapshot (scripts/train_pointdsc.py) must be picked up
+    by run_test.py — no RANSAC-fallback warning — and produce well-formed
+    pose CSV rows (previously this path was untestable: with no torch
+    snapshot the CLI always fell back)."""
+    from scripts.train_pointdsc import main as train_main
+
+    pdsc_dir = str(tmp_path / "pointdsc")
+    train_main([f"out={pdsc_dir}", "steps=25", "batch=2", "n=48",
+                "lr=1e-3", "layers=1"])
+
+    import run_test
+    run_test.main([
+        f"dataset.root={os.path.dirname(nocs_root)}",
+        f"dataset.test.name={os.path.basename(nocs_root)}",
+        "dataset.test.split=test_split",
+        "model.size=small",
+        "compute_vsd=false",
+        "dataset.batch_size=2",
+        "dataset.img_size=[56,56]",
+        "dataset.max_corrs=48",
+        "test.solver=pointdsc",
+        f"pretrained.pointdsc={pdsc_dir}",
+        f"exp_root={tmp_path}",
+        "exp_name=pdsc_smoke",
+    ])
+    captured = capsys.readouterr().out
+    assert "PointDSC snapshot absent" not in captured
+    assert "registered 2 pairs" in captured
+    rdir = tmp_path / "pdsc_smoke" / "results"
+    csv = [f for f in os.listdir(rdir) if f.endswith(".csv")][0]
+    lines = open(rdir / csv).readlines()
+    assert len(lines) == 2 and len(lines[0].split(",")) == 5
+    # pose fields parse to finite floats (CSV layout: id_a,id_q,pose,ious —
+    # eval/evaluator.py pred_pose_csv_line)
+    pose = np.fromstring(lines[0].split(",")[2], sep=" ")
+    assert pose.shape == (12,) and np.isfinite(pose).all()
