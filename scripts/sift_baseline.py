@@ -102,6 +102,10 @@ def main(argv):
     for row in ev.test_summary():
         print(row)
     print(ev.get_latex_str())
+    means = ev.get_means()
+    print("[sift] " + " ".join(
+        f"{k}={v:.3f}" for k, v in sorted(means.items())
+        if isinstance(v, float)), flush=True)
 
 
 if __name__ == "__main__":

@@ -36,13 +36,17 @@ def main(path: str) -> None:
     if not epochs:
         print("no epoch summaries yet")
         return
-    keys = [k for k in epochs[0] if k != "epoch"]
+    # union across records: validation-epoch rows carry valid_metric_* keys
+    # the plain epochs lack (freq_valid cadence)
+    keys = sorted({k for rec in epochs for k in rec if k != "epoch"})
     # stable column order: total loss first, then the rest alphabetically
     keys.sort(key=lambda k: (0 if k.endswith("loss/total") else 1, k))
-    print("| epoch | " + " | ".join(k.replace("train_", "") for k in keys) + " |")
+    show = [k.replace("train_", "").replace("valid_metric_", "val:")
+            for k in keys]
+    print("| epoch | " + " | ".join(show) + " |")
     print("|" + "---|" * (len(keys) + 1))
     for rec in epochs:
-        cells = [f"{rec.get(k, float('nan')):.4f}" for k in keys]
+        cells = ["" if k not in rec else f"{rec[k]:.4f}" for k in keys]
         print(f"| {rec['epoch']} | " + " | ".join(cells) + " |")
 
 
