@@ -83,9 +83,18 @@ class ImageEncoderConfig:
 class ModelConfig:
     use_catseg_ckpt: bool = True
     size: str = "full"  # full | small | tiny (small/tiny for smoke tests)
-    # "int8": CLIP tower projections on the int8 MXU path (models/quant.py).
-    # Opt-in: e2e +16% measured; real-checkpoint accuracy not yet validated.
-    quant: str = "none"
+    # Inference quantization. "int8": CLIP tower projections on the int8 MXU
+    # path (models/quant.py), e2e +16% measured. Default since the trained-
+    # checkpoint A/B (BASELINE.md round 3): AR/ADD(S) deltas within noise
+    # (0.7286 vs 0.7310 AR on the hardened val split). "none" = strict-parity
+    # bf16. Applies to run_test/serving; training uses train_quant.
+    # Smoke-test sizes (small/tiny) have no CLIP tower -> quant is ignored
+    # for them (models/oryon.py resolve_quant).
+    quant: str = "int8"
+    # Training-time quantization (run_train.py). Kept at bf16 strict parity:
+    # the frozen-tower feature contract the fusion/decoder learn against
+    # matches the reference (reference models/vlm.py:14-106).
+    train_quant: str = "none"
     image_encoder: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
 
 

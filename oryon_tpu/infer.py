@@ -161,8 +161,11 @@ class OryonPredictor:
         from oryon_tpu.models.oryon import build_model
         from oryon_tpu.train import create_train_state
 
+        from oryon_tpu.models.oryon import resolve_quant
         model = build_model(cfg.model.size,
-                            quant=getattr(cfg.model, "quant", "none"))
+                            quant=resolve_quant(cfg.model.size,
+                                                getattr(cfg.model, "quant",
+                                                        "int8")))
         key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
         H, W = cfg.dataset.img_size
         rgb = jnp.zeros((1, H, W, 3), jnp.float32)

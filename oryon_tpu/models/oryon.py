@@ -184,6 +184,19 @@ def tiny_oryon(dtype: Any = jnp.float32) -> OryonModel:
 MODEL_FACTORIES.update({"small": small_oryon, "tiny": tiny_oryon})
 
 
+def resolve_quant(size: str, quant: str) -> str:
+    """Config-level quant resolution for CLI entry points.
+
+    model.quant defaults to "int8" (validated accuracy-neutral on trained
+    weights, BASELINE.md round 3) but the int8 path only exists on the full
+    CLIP tower; the small/tiny smoke-test sizes silently resolve to "none".
+    Explicit API misuse (build_model(size="tiny", quant="int8")) still
+    raises — this helper is for the config default, not a license to pass
+    quant anywhere.
+    """
+    return quant if size == "full" else "none"
+
+
 def build_model(size: str = "full", dtype: Any = None,
                 quant: str = "none") -> OryonModel:
     factory = MODEL_FACTORIES[size]

@@ -57,8 +57,11 @@ def main(argv):
     print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
           f" Samples: {len(ds)}")
 
+    from oryon_tpu.models.oryon import resolve_quant
     model = build_model(cfg.model.size,
-                        quant=getattr(cfg.model, "quant", "none"))
+                        quant=resolve_quant(cfg.model.size,
+                                            getattr(cfg.model, "quant",
+                                                    "int8")))
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)

@@ -116,8 +116,13 @@ def main(argv):
         w_mask=cfg.loss.w.mask, w_pos=cfg.loss.w.pos, w_neg=cfg.loss.w.neg,
     )
 
+    # training stays bf16 strict parity by default (model.train_quant);
+    # the int8 inference default does NOT apply to the train step
+    from oryon_tpu.models.oryon import resolve_quant
     model = build_model(cfg.model.size,
-                        quant=getattr(cfg.model, "quant", "none"))
+                        quant=resolve_quant(cfg.model.size,
+                                            getattr(cfg.model, "train_quant",
+                                                    "none")))
     key = jax.random.PRNGKey(cfg.seed)
     sample = next(train_ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, lr=cfg.optimization.lr,

@@ -86,6 +86,24 @@ def test_full_factory_quant_plumb():
         build_model("tiny", quant="int8")
 
 
+def test_int8_is_the_inference_default_bf16_the_train_default():
+    """Round-3 default flip (VERDICT r2 next #2): inference quant defaults to
+    int8 (A/B-validated on trained weights), training stays bf16 strict
+    parity, and smoke-test model sizes resolve the default away instead of
+    tripping the build_model size guard."""
+    from oryon_tpu.config import load_config
+    from oryon_tpu.models.oryon import resolve_quant
+    cfg = load_config(None, [])
+    assert cfg.model.quant == "int8"
+    assert cfg.model.train_quant == "none"
+    assert resolve_quant("full", cfg.model.quant) == "int8"
+    assert resolve_quant("tiny", cfg.model.quant) == "none"
+    assert resolve_quant("small", cfg.model.quant) == "none"
+    # strict-parity opt-out stays available
+    cfg2 = load_config(None, ["model.quant=none"])
+    assert resolve_quant("full", cfg2.model.quant) == "none"
+
+
 def test_swin_tower_int8_matches_bf16():
     from oryon_tpu.models.swin import SwinConfig, SwinGuidance
     cfg = dict(embed_dim=64, depths=(2, 2), heads=(2, 4), window=7)
