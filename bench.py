@@ -126,6 +126,24 @@ def main() -> None:
     bf16 = measure("pointdsc")          # strict-parity variant (quant=none)
     ransac = measure("ransac", mdl=int8_model)  # solver variant, same model
 
+    # --trace=DIR: capture a device trace of the (already warm) headline
+    # program for scripts/trace_op_table.py — device times are immune to the
+    # shared-pool wall-clock noise (CLAUDE.md).
+    import sys as _sys
+    trace_dir = next((a.split("=", 1)[1] for a in _sys.argv
+                      if a.startswith("--trace=")), None)
+    if trace_dir:
+        from oryon_tpu.utils.profiling import trace as profile_trace
+        t_iters = 10
+        with profile_trace(trace_dir):
+            for i in range(t_iters):
+                out = run(params, pd_vars, jax.random.PRNGKey(i), rgb_a,
+                          rgb_q, text_emb, depth_a, depth_q, camera,
+                          "pointdsc", int8_model)
+            sync(out)
+        print(f"decode: python scripts/trace_op_table.py {trace_dir} "
+              f"--iters {t_iters}", file=_sys.stderr)
+
     global _PRINTED
     print(json.dumps({
         "metric": "e2e_image_pairs_per_sec",
