@@ -164,8 +164,7 @@ class OryonPredictor:
         from oryon_tpu.models.oryon import resolve_quant
         model = build_model(cfg.model.size,
                             quant=resolve_quant(cfg.model.size,
-                                                getattr(cfg.model, "quant",
-                                                        "int8")))
+                                                cfg.model.quant))
         key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
         H, W = cfg.dataset.img_size
         rgb = jnp.zeros((1, H, W, 3), jnp.float32)

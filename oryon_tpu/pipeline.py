@@ -171,10 +171,13 @@ def pointdsc_weights_available(pretrained_dir: str) -> bool:
 
 def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
     """(model, variables) for the pretrained PointDSC registration module
-    (reference utils/pointdsc/init.py:32-57).  Prefers a flax-native
-    ``native.npz`` (in-sandbox trained, scripts/train_pointdsc.py), then the
-    reference's torch snapshot via the weight converter; random init when
-    neither exists (zero-egress sandbox)."""
+    (reference utils/pointdsc/init.py:32-57).  Prefers the reference's
+    3DMatch torch snapshot via the weight converter (the parity source of
+    truth), then a flax-native ``native.npz`` (in-sandbox trained,
+    scripts/train_pointdsc.py); random init when neither exists
+    (zero-egress sandbox).  Always prints which weight source was loaded
+    so a stale native.npz can't silently shadow the real checkpoint on
+    asset day."""
     import os
 
     from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
@@ -182,7 +185,11 @@ def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
     native = pointdsc_native_path(pretrained_dir)
     snapshot = pointdsc_snapshot_path(pretrained_dir)
     pd = PointDSC(PointDSCConfig())
-    if os.path.exists(native):
+    if os.path.exists(snapshot):
+        from oryon_tpu.models import convert
+        pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
+        print(f"PointDSC weights: reference snapshot {snapshot}")
+    elif os.path.exists(native):
         import numpy as np
         from flax.traverse_util import unflatten_dict
 
@@ -196,9 +203,7 @@ def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
                         and k[2].startswith("pointcn_")})
         if n_layers != pd.cfg.num_layers:
             pd = PointDSC(PointDSCConfig(num_layers=n_layers))
-    elif os.path.exists(snapshot):
-        from oryon_tpu.models import convert
-        pd_vars = convert.convert_pointdsc(convert.load_torch_state(snapshot))
+        print(f"PointDSC weights: in-sandbox trained {native}")
     else:
         print("WARNING: PointDSC snapshot not found; random init")
         dummy = jnp.zeros((n_corrs, 3))

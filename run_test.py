@@ -59,9 +59,7 @@ def main(argv):
 
     from oryon_tpu.models.oryon import resolve_quant
     model = build_model(cfg.model.size,
-                        quant=resolve_quant(cfg.model.size,
-                                            getattr(cfg.model, "quant",
-                                                    "int8")))
+                        quant=resolve_quant(cfg.model.size, cfg.model.quant))
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)

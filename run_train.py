@@ -121,8 +121,7 @@ def main(argv):
     from oryon_tpu.models.oryon import resolve_quant
     model = build_model(cfg.model.size,
                         quant=resolve_quant(cfg.model.size,
-                                            getattr(cfg.model, "train_quant",
-                                                    "none")))
+                                            cfg.model.train_quant))
     key = jax.random.PRNGKey(cfg.seed)
     sample = next(train_ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, lr=cfg.optimization.lr,

@@ -132,8 +132,10 @@ def main() -> None:
     from oryon_tpu.pipeline import make_text_cache
     from oryon_tpu.utils.initshape import init_by_shape
 
-    # QUANT=int8 measures the opt-in int8-tower capability number
-    model = full_oryon(quant=os.environ.get("QUANT", "none"))
+    # int8 is the shipped inference default since round 3 (ModelConfig.quant);
+    # QUANT=none measures the strict-parity bf16 variant
+    from oryon_tpu.config import ModelConfig
+    model = full_oryon(quant=os.environ.get("QUANT", ModelConfig().quant))
     b0 = synthetic_pair_batch(seed=0, batch=1, n_prompts=80)
     params = init_by_shape(model, jax.random.PRNGKey(0),
                            b0.anchor.rgb, b0.query.rgb, b0.prompt_ids)

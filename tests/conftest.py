@@ -50,3 +50,56 @@ def random_pose(rs: np.random.RandomState, t_scale: float = 0.5) -> np.ndarray:
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: subprocess-driven CLI tests (minutes on 1 core)")
+    config.addinivalue_line(
+        "markers", "smoke: <5-min cross-subsystem tier (pytest -m smoke)")
+
+
+# One fast representative test per subsystem — the <5-minute green check for
+# cold sessions / CI (the full suite takes ~25 min on the 1-core host because
+# interpret-mode Pallas kernels run in every tiny-model test).  Kept in ONE
+# place so the selection is auditable; update when a subsystem gains a
+# cheaper representative.  `python -m pytest tests/ -m smoke -q`
+SMOKE = {
+    "test_checkpoint.py::test_checkpoint_roundtrip",          # orbax ckpt
+    "test_cli.py::test_load_config_override_coercions",       # config system
+    "test_convert.py::test_clip_resblock_conversion",         # torch converters
+    "test_cross_scoring.py::test_csv_roundtrips_through_reference_parser",
+    "test_data.py::test_pair_dataset_batches",                # datasets/collate
+    "test_device_augment.py::test_forced_flips_mirror_images_and_corrs",
+    "test_flash.py::test_fused_mha_lanes_matches_einsum",     # fused MHA kernel
+    "test_geometry.py::test_kabsch_recovers_pose",            # geometry core
+    "test_geometry.py::test_ransac_kabsch_with_outliers",     # RANSAC solver
+    "test_infer.py::test_parse_camera_forms",                 # serving API
+    "test_losses_train.py::test_feature_loss_perfect_match_zero_pos_loss",
+    "test_losses_train.py::test_train_step_on_8_device_mesh", # DP mesh
+    "test_matching.py::test_matches_agree_with_bruteforce",   # NN matching
+    "test_metrics.py::test_mssd_mspd_identity_sym",           # BOP metrics
+    "test_models.py::test_fusion_shapes",                     # fusion module
+    "test_models.py::test_decoder_shapes_and_guidance_use",   # decoder
+    "test_native.py::test_rle_roundtrip",                     # C++ extension
+    "test_parity_reference.py::TestBopParity::test_mssd",     # vs reference
+    "test_pipeline.py::test_pipeline_recovers_gt_pose[ransac]",
+    "test_pointdsc.py::test_pointdsc_recovers_pose_with_outliers",
+    "test_quant.py::test_int8_dense_close_to_f32",            # int8 path
+    "test_renderer_evaluator.py::test_quad_depth_values",     # VSD rasterizer
+    "test_renderer_evaluator.py::test_evaluator_perfect_pose_scores",
+    "test_scripts.py::test_pcd_correspondences_exact_transform",
+    "test_swin_attn.py::test_swin_stage_pad_equivalence[einsum]",
+    "test_tokenizer_golden.py::test_bpe_merge_loop_hand_derived",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    matched = set()
+    for item in items:
+        # nodeid relative to tests/: "test_x.py::test_y[param]"
+        nid = item.nodeid.split("/")[-1]
+        if nid in SMOKE:
+            item.add_marker(pytest.mark.smoke)
+            matched.add(nid)
+    # a renamed/removed test must fail the selection loudly, not shrink it
+    stale = SMOKE - matched
+    if stale and any(
+            item.nodeid.split("/")[-1].split("::")[0] in
+            {s.split("::")[0] for s in stale} for item in items):
+        raise pytest.UsageError(f"conftest SMOKE list is stale: {sorted(stale)}")
