@@ -28,12 +28,23 @@ def logs_dir(cfg: Config) -> str:
     return os.path.join(cfg.exp_root, cfg.exp_name, "logs")
 
 
-def init_experiment(cfg: Config) -> None:
+def init_experiment(cfg: Config, snapshot: bool = False) -> None:
     """Create the experiment tree + config snapshot
-    (reference utils/misc.py:376-410 / pipeline.py:164-166)."""
+    (reference utils/misc.py:376-410 / pipeline.py:164-166).
+
+    ``snapshot=True`` (run_train) refreshes ``<exp>/config.yaml``, the
+    experiment's training-config record.  Eval/infer entries must leave it
+    alone — the reference likewise snapshots test configs only NEXT TO the
+    results CSV (pipeline.py:485-486); overwriting the experiment config
+    with eval overrides (debug_valid, solver ablations, ...) silently
+    poisons the provenance of every later `--config=<exp>/config.yaml` run.
+    The file is still written when absent so ad-hoc eval-only experiment
+    dirs keep a config record."""
     for d in (ckpt_dir(cfg), results_dir(cfg), logs_dir(cfg)):
         os.makedirs(d, exist_ok=True)
-    save_config(cfg, os.path.join(cfg.exp_root, cfg.exp_name, "config.yaml"))
+    path = os.path.join(cfg.exp_root, cfg.exp_name, "config.yaml")
+    if snapshot or not os.path.exists(path):
+        save_config(cfg, path)
 
 
 def _checkpointer() -> ocp.Checkpointer:

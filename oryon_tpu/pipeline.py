@@ -140,6 +140,29 @@ def _pose_from_corrs(
     return T, jnp.sum(w)
 
 
+def make_pipeline_config(cfg, solver: str,
+                         mask_source: Optional[str] = None) -> PipelineConfig:
+    """PipelineConfig from the CLI config tree — the single source of truth
+    for the cfg -> pipeline plumbing shared by run_test / run_train
+    validation.  Regression guard: run_test once rebuilt this inline and
+    dropped ``debug_valid``, so the GT-corr upper-bound probe (reference
+    configs/config.yaml:11) silently evaluated the learned-matching path
+    instead; centralizing + unit-testing the mapping prevents a recurrence.
+
+    ``mask_source`` overrides cfg.test.mask (run_train validation always
+    scores predicted masks, reference pipeline.py:196-247)."""
+    from oryon_tpu.ops.matching import MatchParams
+
+    return PipelineConfig(
+        mask_source=cfg.test.mask if mask_source is None else mask_source,
+        mask_threshold=cfg.test.mask_threshold,
+        solver=solver,
+        debug_valid=cfg.debug_valid,
+        match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
+                          dist_th=cfg.test.dist_th),
+    )
+
+
 def pointdsc_snapshot_path(pretrained_dir: str) -> str:
     """Location of the pretrained PointDSC weights inside the snapshot tree
     (reference utils/pointdsc/init.py:32-40)."""

@@ -34,8 +34,7 @@ def main(argv):
     from oryon_tpu.eval.evaluator import BatchedEvaluator as Evaluator
     from oryon_tpu.models.oryon import build_model
     from oryon_tpu.models.tokenizer import ClipTokenizer
-    from oryon_tpu.ops.matching import MatchParams
-    from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
+    from oryon_tpu.pipeline import (build_pipeline,
                                     make_text_cache, run_test_epoch)
     from oryon_tpu.train import create_train_state
 
@@ -96,12 +95,8 @@ def main(argv):
                   "so pose metrics stay meaningful")
             solver = "ransac"
 
-    pcfg = PipelineConfig(
-        mask_source=cfg.test.mask, mask_threshold=cfg.test.mask_threshold,
-        solver=solver,
-        match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
-                          dist_th=cfg.test.dist_th),
-    )
+    from oryon_tpu.pipeline import make_pipeline_config
+    pcfg = make_pipeline_config(cfg, solver)
     # multi-chip eval: shard the batch over the data axis (replicated
     # params; optional TP axis reuses the train-time param shardings)
     from oryon_tpu.parallel import serving_mesh

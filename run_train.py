@@ -56,7 +56,7 @@ def main(argv):
     from oryon_tpu.train import create_train_state, jit_train_step
     from oryon_tpu.utils.logging import MetricLogger
 
-    init_experiment(cfg)
+    init_experiment(cfg, snapshot=True)
     logger = MetricLogger(logs_dir(cfg), cfg.exp_name)
 
     import os
@@ -239,8 +239,7 @@ def run_validation(cfg, model, state, valid_ds, key, epoch, logger=None):
 
     from oryon_tpu.data.loader import PrefetchLoader
     from oryon_tpu.eval.evaluator import BatchedEvaluator
-    from oryon_tpu.ops.matching import MatchParams
-    from oryon_tpu.pipeline import (PipelineConfig, build_pipeline,
+    from oryon_tpu.pipeline import (build_pipeline,
                                     build_pointdsc_solver,
                                     pointdsc_weights_available, run_test_epoch)
 
@@ -259,12 +258,8 @@ def run_validation(cfg, model, state, valid_ds, key, epoch, logger=None):
             print("WARNING: PointDSC snapshot absent; validating with RANSAC "
                   "so pose metrics stay meaningful")
             solver = "ransac"
-    pcfg = PipelineConfig(
-        mask_source="predicted", mask_threshold=cfg.test.mask_threshold,
-        solver=solver,
-        match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
-                          dist_th=cfg.test.dist_th),
-    )
+    from oryon_tpu.pipeline import make_pipeline_config
+    pcfg = make_pipeline_config(cfg, solver, mask_source="predicted")
     pipe = build_pipeline(model, state.params, pcfg, pointdsc)
     ev = BatchedEvaluator(cfg.exp_tag, compute_vsd=False)
     ev.add_object_info(valid_ds.reader.object_info())

@@ -86,20 +86,15 @@ SMOKE = {
     "test_scripts.py::test_pcd_correspondences_exact_transform",
     "test_swin_attn.py::test_swin_stage_pad_equivalence[einsum]",
     "test_tokenizer_golden.py::test_bpe_merge_loop_hand_derived",
+    "test_tp_fullscale.py::test_tp_spec_covers_full_tree",  # TP rules
+    "test_smoke_meta.py::test_smoke_list_resolves",
 }
 
 
 def pytest_collection_modifyitems(config, items):
-    matched = set()
     for item in items:
         # nodeid relative to tests/: "test_x.py::test_y[param]"
-        nid = item.nodeid.split("/")[-1]
-        if nid in SMOKE:
+        if item.nodeid.split("/")[-1] in SMOKE:
             item.add_marker(pytest.mark.smoke)
-            matched.add(nid)
-    # a renamed/removed test must fail the selection loudly, not shrink it
-    stale = SMOKE - matched
-    if stale and any(
-            item.nodeid.split("/")[-1].split("::")[0] in
-            {s.split("::")[0] for s in stale} for item in items):
-        raise pytest.UsageError(f"conftest SMOKE list is stale: {sorted(stale)}")
+    # staleness of the SMOKE list (renamed/removed tests) is enforced by
+    # tests/test_smoke_meta.py, which is itself part of the smoke tier

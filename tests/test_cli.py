@@ -217,3 +217,26 @@ def test_run_test_cli_pointdsc_native_snapshot(nocs_root, tmp_path, capsys):
     # eval/evaluator.py pred_pose_csv_line)
     pose = np.fromstring(lines[0].split(",")[2], sep=" ")
     assert pose.shape == (12,) and np.isfinite(pose).all()
+
+
+def test_make_pipeline_config_plumbs_cfg():
+    """cfg -> PipelineConfig mapping (regression: run_test once rebuilt this
+    inline and DROPPED debug_valid, so `debug_valid=true` only reordered the
+    dataset corrs while the pipeline still ran learned matching — the
+    GT-corr upper-bound probe silently measured the wrong thing)."""
+    from oryon_tpu.config import load_config
+    from oryon_tpu.pipeline import make_pipeline_config
+
+    cfg = load_config(None, ["debug_valid=true", "test.mask=oracle",
+                             "test.n_corrs=123", "test.dist_th=0.33",
+                             "test.mask_threshold=0.41"])
+    p = make_pipeline_config(cfg, "ransac")
+    assert p.debug_valid is True
+    assert p.mask_source == "oracle"
+    assert p.solver == "ransac"
+    assert p.match.max_corrs == 123
+    assert p.match.dist_th == 0.33
+    assert p.mask_threshold == 0.41
+    # run_train validation pins predicted masks but must keep debug_valid
+    pv = make_pipeline_config(cfg, "pointdsc", mask_source="predicted")
+    assert pv.mask_source == "predicted" and pv.debug_valid is True
