@@ -141,6 +141,16 @@ def main() -> None:
                           rgb_q, text_emb, depth_a, depth_q, camera,
                           "pointdsc", int8_model)
             sync(out)
+        # drop the optimized HLO next to the trace so trace_op_table.py can
+        # attribute fusions to pipeline stages STRUCTURALLY (op_name source
+        # metadata) instead of by hand-matched positional names; the
+        # compilation cache makes this re-lower/compile cheap
+        import os as _os
+        hlo_txt = run.lower(params, pd_vars, key, rgb_a, rgb_q, text_emb,
+                            depth_a, depth_q, camera, "pointdsc",
+                            int8_model).compile().as_text()
+        with open(_os.path.join(trace_dir, "hlo.txt"), "w") as f:
+            f.write(hlo_txt)
         print(f"decode: python scripts/trace_op_table.py {trace_dir} "
               f"--iters {t_iters}", file=_sys.stderr)
 
