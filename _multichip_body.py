@@ -12,6 +12,15 @@ ride ICI.
 
 Reference parallelism being modeled: single-node DDP (reference
 run_train.py:60-76) -> here a 2D dp x tp Mesh with GSPMD-sharded params.
+
+Model scale: deliberately `tiny_oryon` at 28x28.  Measured round 4: tiny
+takes ~3.5 min on the 1-core host (XLA:CPU compile dominates); `small`
+would multiply that past the driver's patience, and EXECUTING a big model
+on 8 virtual single-core devices proves nothing extra about sharding.
+Production-scale evidence lives in tests/test_tp_fullscale.py: full-tree
+TP spec coverage (name-drift guard) + AOT lowering of the production-shape
+train step on the same 4x2 mesh, and tests/_cli_multichip_body.py runs the
+CLI end-to-end at model.size=small on 8 devices.
 """
 import os
 import sys
