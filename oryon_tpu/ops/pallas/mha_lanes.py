@@ -33,25 +33,52 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
+def _scale_fits_exactly(scale: float, dtype) -> bool:
+    """True iff multiplying by ``scale`` in ``dtype`` is exact (power of
+    two within range) — the ViT case: hd=64 -> scale=0.125."""
+    import numpy as np
+    f = np.asarray(scale, dtype)
+    return float(f) == float(scale) and float(scale) != 0.0 and (
+        abs(float(np.log2(abs(float(scale)))) % 1.0) < 1e-12)
+
+
 def _kernel(qkv_ref, kmask_ref, out_ref, *, heads: int, scale: float):
     """qkv_ref: [1, L, 3C] packed in_proj output (q | k | v along lanes) —
     consuming it unsplit saves the q/k/v slice copies (~1.6 ms/call on the
-    ViT-L stack); out_ref: [1, L, C]; kmask_ref: [1, L] additive f32."""
+    ViT-L stack); out_ref: [1, L, C]; kmask_ref: [1, L] additive f32.
+
+    Per-head VPU pass budget (round 4): the softmax scale is folded into q
+    BEFORE the QK matmul when exact in the input dtype ([L, hd] multiply
+    replacing an [L, L] one — bit-exact for power-of-two scales like ViT's
+    hd=64 -> 0.125), and the probability normalization is deferred past the
+    AV matmul (divide [L, hd] in f32 instead of [L, L]; also slightly MORE
+    accurate than pre-dividing in bf16).  Both are algebraic no-ops."""
     C = qkv_ref.shape[-1] // 3
     hd = C // heads
     add = kmask_ref[0, :][None, :]          # [1, L] broadcast over queries
+    fold = _scale_fits_exactly(scale, qkv_ref.dtype)
     for h in range(heads):
         qs = qkv_ref[0, :, h * hd:(h + 1) * hd]
         ks = qkv_ref[0, :, C + h * hd:C + (h + 1) * hd]
         vs = qkv_ref[0, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        if fold:
+            qs = qs * qkv_ref.dtype.type(scale)
         s = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + add
+            preferred_element_type=jnp.float32)
+        if not fold:
+            s = s * scale
+        s = s + add
         s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
-        out_ref[0, :, h * hd:(h + 1) * hd] = jnp.dot(
-            p, vs, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        # cast the exponentials to the compute dtype BEFORE the row-sum so
+        # the f32 [L, L] buffer dies here — keeping it live through the AV
+        # dot blew the 16 MB scoped-VMEM stack (measured: 20.9 MB).  The
+        # denominator still accumulates in f32; rounding e to bf16 first is
+        # the same error class as the old pre-divided bf16 probabilities.
+        e = jnp.exp(s).astype(qkv_ref.dtype)
+        denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jnp.dot(e, vs, preferred_element_type=jnp.float32)  # [L, hd] f32
+        out_ref[0, :, h * hd:(h + 1) * hd] = (o / denom).astype(out_ref.dtype)
 
 
 def _reference_mha(q, k, v, kmask, heads, scale):
