@@ -98,10 +98,12 @@ class MultiHeadAttention(nn.Module):
         hd = D // self.heads
         Dense = _dense_cls(self.quant)
         in_proj = Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
-        if self.attn_impl == "fused":
+        if self.attn_impl in ("fused", "fused_i8qk"):
             # lane-packed fused kernel: consumes the packed [B, L, 3C]
             # in_proj output directly — no q/k/v split, no head-split
-            # transposes, logits stay in VMEM (ops/pallas/mha_lanes)
+            # transposes, logits stay in VMEM (ops/pallas/mha_lanes);
+            # "fused_i8qk" additionally computes logits on the int8 MXU
+            # (opt-in pending a trained-weight accuracy A/B)
             assert mask is None, "fused path is unmasked attention only"
             from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes_qkv
             if seg is not None:
@@ -127,7 +129,8 @@ class MultiHeadAttention(nn.Module):
                 kmask = jnp.where(seg_row > 0, 0.0, -1e9).astype(jnp.float32)
             else:
                 kmask = jnp.zeros((L,), jnp.float32)
-            out = fused_mha_lanes_qkv(in_proj, kmask, self.heads, hd ** -0.5)
+            out = fused_mha_lanes_qkv(in_proj, kmask, self.heads, hd ** -0.5,
+                                      None, self.attn_impl == "fused_i8qk")
             return Dense(D, dtype=self.dtype, name="out_proj")(out)
         q, k, v = jnp.split(in_proj, 3, axis=-1)
         q = q.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)

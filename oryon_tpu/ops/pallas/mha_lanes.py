@@ -42,7 +42,8 @@ def _scale_fits_exactly(scale: float, dtype) -> bool:
         abs(float(np.log2(abs(float(scale)))) % 1.0) < 1e-12)
 
 
-def _kernel(qkv_ref, kmask_ref, out_ref, *, heads: int, scale: float):
+def _kernel(qkv_ref, kmask_ref, out_ref, *, heads: int, scale: float,
+            qk_int8: bool = False):
     """qkv_ref: [1, L, 3C] packed in_proj output (q | k | v along lanes) —
     consuming it unsplit saves the q/k/v slice copies (~1.6 ms/call on the
     ViT-L stack); out_ref: [1, L, C]; kmask_ref: [1, L] additive f32.
@@ -52,7 +53,14 @@ def _kernel(qkv_ref, kmask_ref, out_ref, *, heads: int, scale: float):
     replacing an [L, L] one — bit-exact for power-of-two scales like ViT's
     hd=64 -> 0.125), and the probability normalization is deferred past the
     AV matmul (divide [L, hd] in f32 instead of [L, L]; also slightly MORE
-    accurate than pre-dividing in bf16).  Both are algebraic no-ops."""
+    accurate than pre-dividing in bf16).  Both are algebraic no-ops.
+
+    ``qk_int8``: dynamic per-head symmetric int8 quantization of q and k
+    feeding an int8 MXU matmul (2x the bf16 rate) for the logits; the
+    descale constant folds into the softmax's existing elementwise passes.
+    NOT an algebraic no-op — logits gain ~1% quantization noise — so it is
+    opt-in pending a trained-weight accuracy A/B (like the int8 tower was,
+    BASELINE.md round 3)."""
     C = qkv_ref.shape[-1] // 3
     hd = C // heads
     add = kmask_ref[0, :][None, :]          # [1, L] broadcast over queries
@@ -61,14 +69,26 @@ def _kernel(qkv_ref, kmask_ref, out_ref, *, heads: int, scale: float):
         qs = qkv_ref[0, :, h * hd:(h + 1) * hd]
         ks = qkv_ref[0, :, C + h * hd:C + (h + 1) * hd]
         vs = qkv_ref[0, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        if fold:
-            qs = qs * qkv_ref.dtype.type(scale)
-        s = jax.lax.dot_general(
-            qs, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if not fold:
-            s = s * scale
-        s = s + add
+        if qk_int8:
+            qf = qs.astype(jnp.float32) * scale   # fold scale pre-quant
+            kf = ks.astype(jnp.float32)
+            qm = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-12)
+            km = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-12)
+            qi = jnp.round(qf * (127.0 / qm)).astype(jnp.int8)
+            ki = jnp.round(kf * (127.0 / km)).astype(jnp.int8)
+            si = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = si.astype(jnp.float32) * (qm * km / (127.0 * 127.0)) + add
+        else:
+            if fold:
+                qs = qs * qkv_ref.dtype.type(scale)
+            s = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if not fold:
+                s = s * scale
+            s = s + add
         s = s - jnp.max(s, axis=-1, keepdims=True)
         # cast the exponentials to the compute dtype BEFORE the row-sum so
         # the f32 [L, L] buffer dies here — keeping it live through the AV
@@ -97,16 +117,21 @@ def _reference_mha(q, k, v, kmask, heads, scale):
     return o.transpose(0, 2, 1, 3).reshape(B, L, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_mha_lanes_qkv(
     qkv: jnp.ndarray,        # [B, L, 3C] packed (q | k | v), L % 128 == 0
     kmask: jnp.ndarray,      # [L] additive f32 (0 real keys, -1e9 padding)
     heads: int,
     scale: float,
     interpret: bool = None,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """softmax(q_h k_h^T * scale + kmask) v_h per lane-packed head, reading
-    the packed in_proj output directly (no q/k/v split copies)."""
+    the packed in_proj output directly (no q/k/v split copies).
+
+    ``qk_int8=True`` computes the logits on the int8 MXU path (dynamic
+    per-head symmetric quantization; ~1% logit noise — opt-in, see
+    _kernel)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, L, C3 = qkv.shape
@@ -115,7 +140,8 @@ def fused_mha_lanes_qkv(
     assert C % heads == 0, (C, heads)
     kmask2 = jnp.broadcast_to(kmask.astype(jnp.float32)[None], (1, L))
 
-    kern = functools.partial(_kernel, heads=heads, scale=scale)
+    kern = functools.partial(_kernel, heads=heads, scale=scale,
+                             qk_int8=qk_int8)
     return pl.pallas_call(
         kern,
         grid=(B,),
@@ -132,18 +158,19 @@ def fused_mha_lanes_qkv(
     )(qkv, kmask2)
 
 
-def fused_mha_lanes(q, k, v, kmask, heads, scale, interpret=None):
+def fused_mha_lanes(q, k, v, kmask, heads, scale, interpret=None,
+                    qk_int8=False):
     """Split-tensor convenience wrapper over fused_mha_lanes_qkv."""
     return fused_mha_lanes_qkv(jnp.concatenate([q, k, v], axis=-1), kmask,
-                               heads, scale, interpret)
+                               heads, scale, interpret, qk_int8)
 
 
-def _fwd(qkv, kmask, heads, scale, interpret):
-    return fused_mha_lanes_qkv(qkv, kmask, heads, scale, interpret), \
-        (qkv, kmask)
+def _fwd(qkv, kmask, heads, scale, interpret, qk_int8):
+    return fused_mha_lanes_qkv(qkv, kmask, heads, scale, interpret,
+                               qk_int8), (qkv, kmask)
 
 
-def _bwd(heads, scale, interpret, res, g):
+def _bwd(heads, scale, interpret, qk_int8, res, g):
     qkv, kmask = res
     C = qkv.shape[-1] // 3
 
@@ -153,6 +180,7 @@ def _bwd(heads, scale, interpret, res, g):
 
     # kmask enters the softmax logits additively, so its cotangent is real
     # (it matters if a learned additive mask is ever trained through here)
+    # (straight-through for qk_int8: gradients ignore the quantization)
     _, vjp = jax.vjp(ref, qkv, kmask)
     dqkv, dkmask = vjp(g)
     return dqkv, dkmask

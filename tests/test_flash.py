@@ -170,3 +170,30 @@ def test_fused_seg_contract_rejects_per_sample(rng):
                                    atol=1e-5, rtol=1e-5)
     finally:
         pl.pallas_call = orig
+
+
+def test_fused_mha_lanes_int8_qk(rng):
+    """Opt-in int8-MXU logit path (qk_int8): per-head dynamic symmetric
+    quantization adds ~1% logit noise; the softmax output must stay within
+    a small absolute tolerance of the exact kernel (opt-in pending a
+    trained-weight accuracy A/B — ops/pallas/mha_lanes.py)."""
+    from oryon_tpu.ops.pallas.mha_lanes import fused_mha_lanes
+
+    B, L, H, hd = 2, 256, 4, 16
+    C = H * hd
+    Lreal = 200
+    q = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    k = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    v = jnp.array(rng.randn(B, L, C).astype(np.float32))
+    kmask = jnp.where(jnp.arange(L) < Lreal, 0.0, -1e9).astype(jnp.float32)
+    exact = np.asarray(fused_mha_lanes(q, k, v, kmask, H, hd ** -0.5,
+                                       interpret=True))
+    quant = np.asarray(fused_mha_lanes(q, k, v, kmask, H, hd ** -0.5,
+                                       interpret=True, qk_int8=True))
+    # int8 logits perturb the softmax slightly; outputs are value-space
+    # averages so the error stays small and dense
+    err = np.abs(exact[:, :Lreal] - quant[:, :Lreal])
+    assert err.max() < 0.08, err.max()
+    a, b = exact[:, :Lreal].ravel(), quant[:, :Lreal].ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
