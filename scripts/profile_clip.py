@@ -51,6 +51,33 @@ def main() -> None:
         return float(np.asarray(jnp.sum(out[..., :2].astype(jnp.float32))))
 
     results = {}
+    if "--mha-ab" in sys.argv:
+        # A/B the fused MHA kernel vs its int8-MXU logit variant at full
+        # tower scale (VERDICT-r3 next #7: close the 9.7 -> ~7 ms gap or
+        # write its epitaph).  Wall-clock medians are printed but the
+        # device-trace dirs are the real verdict (CLAUDE.md: always trace
+        # before believing a wall-clock comparison on the shared pool).
+        from oryon_tpu.utils.profiling import trace as profile_trace
+        for impl in ("fused", "fused_i8qk"):
+            tower = ClipVisionTower(ClipVisionConfig(attn_impl=impl))
+            tp = tower.init(jax.random.PRNGKey(0), imgs[:1])
+            f = jax.jit(lambda p, im, tower=tower: tower.apply(p, im))
+            sync(f(tp, imgs))
+            results[f"tower/{impl}"] = _median_ms(lambda: f(tp, imgs), sync)
+            tdir = f"/tmp/clip_mha_ab_{impl}"
+            with profile_trace(tdir):
+                for _ in range(10):
+                    out = f(tp, imgs)
+                sync(out)
+            hlo = f.lower(tp, imgs).compile().as_text()
+            with open(os.path.join(tdir, "hlo.txt"), "w") as fp:
+                fp.write(hlo)
+            print(json.dumps({"probe": f"tower/{impl}",
+                              "ms": round(results[f"tower/{impl}"], 2),
+                              "trace": tdir, "iters": 10}), flush=True)
+        print("decode: python scripts/trace_op_table.py "
+              "/tmp/clip_mha_ab_<impl> --iters 10", file=sys.stderr)
+        return
     if "--swin-pallas-only" in sys.argv:
         _swin_probes(jnp, jax, rng, sync, results, IMGS,
                      impls=("pallas", "einsum"))
