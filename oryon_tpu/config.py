@@ -91,6 +91,13 @@ class ModelConfig:
     # Smoke-test sizes (small/tiny) have no CLIP tower -> quant is ignored
     # for them (models/oryon.py resolve_quant).
     quant: str = "int8"
+    # CLIP vision-tower attention implementation (models/clip.py
+    # MultiHeadAttention): "fused" = lane-packed Pallas MHA (default);
+    # "fused_i8qk" additionally computes the attention logits on the int8
+    # MXU (opt-in pending a trained-weight accuracy A/B, like quant was);
+    # einsum/flash/auto are the fallback paths. Ignored for small/tiny
+    # (models/oryon.py resolve_attn_impl), which need per-sample masking.
+    attn_impl: str = "fused"
     # Training-time quantization (run_train.py). Kept at bf16 strict parity:
     # the frozen-tower feature contract the fusion/decoder learn against
     # matches the reference (reference models/vlm.py:14-106).

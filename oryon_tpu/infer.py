@@ -161,10 +161,12 @@ class OryonPredictor:
         from oryon_tpu.models.oryon import build_model
         from oryon_tpu.train import create_train_state
 
-        from oryon_tpu.models.oryon import resolve_quant
+        from oryon_tpu.models.oryon import resolve_attn_impl, resolve_quant
         model = build_model(cfg.model.size,
                             quant=resolve_quant(cfg.model.size,
-                                                cfg.model.quant))
+                                                cfg.model.quant),
+                            attn_impl=resolve_attn_impl(cfg.model.size,
+                                                        cfg.model.attn_impl))
         key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
         H, W = cfg.dataset.img_size
         rgb = jnp.zeros((1, H, W, 3), jnp.float32)

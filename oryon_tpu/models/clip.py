@@ -248,7 +248,7 @@ class ClipVisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         seg = None
         L = x.shape[1]
-        if c.attn_impl in ("flash", "fused"):
+        if c.attn_impl in ("flash", "fused", "fused_i8qk"):
             # hoist the tile-alignment pad OUT of the 24-layer loop: pad the
             # sequence to a lane multiple once, isolate pad tokens with
             # segment ids, slice once at the end (per-layer q/k/v pads cost

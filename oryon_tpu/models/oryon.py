@@ -120,7 +120,8 @@ class OryonModel(nn.Module):
         )
 
 
-def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none") -> OryonModel:
+def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none",
+               attn_impl: str = "fused") -> OryonModel:
     """Production configuration (reference configs/config.yaml:31-39):
     ViT-L/14@336, Swin-B@384, 192² x 32-ch output.
 
@@ -129,8 +130,13 @@ def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none") -> OryonModel:
     guidance tower deliberately stays bf16: int8 REGRESSES it 16.4 ->
     18.8 ms/16 imgs (measured) — its 49-token window matmuls are too
     small to amortize the quantize/dequantize passes.  SwinConfig.quant
-    remains available for future larger-window configs."""
-    return OryonModel(vision_cfg=ClipVisionConfig(quant=quant), dtype=dtype)
+    remains available for future larger-window configs.
+
+    attn_impl selects the vision-tower attention kernel (cfg.model.attn_impl;
+    "fused_i8qk" = int8-MXU logits, opt-in pending a trained-weight A/B)."""
+    return OryonModel(vision_cfg=ClipVisionConfig(quant=quant,
+                                                  attn_impl=attn_impl),
+                      dtype=dtype)
 
 
 MODEL_FACTORIES = {"full": full_oryon}  # extended below
@@ -197,8 +203,16 @@ def resolve_quant(size: str, quant: str) -> str:
     return quant if size == "full" else "none"
 
 
+def resolve_attn_impl(size: str, attn_impl: str) -> str:
+    """Config-level attn_impl resolution, same policy as resolve_quant:
+    the fused-kernel variants only exist on the full CLIP vision tower
+    (small/tiny use the shape-flexible "auto" path), so non-full sizes
+    silently keep their model defaults."""
+    return attn_impl if size == "full" else "fused"
+
+
 def build_model(size: str = "full", dtype: Any = None,
-                quant: str = "none") -> OryonModel:
+                quant: str = "none", attn_impl: str = "fused") -> OryonModel:
     factory = MODEL_FACTORIES[size]
     kwargs = {}
     if dtype is not None:
@@ -207,4 +221,8 @@ def build_model(size: str = "full", dtype: Any = None,
         if size != "full":
             raise ValueError("model.quant is only wired for size='full'")
         kwargs["quant"] = quant
+    if attn_impl != "fused":
+        if size != "full":
+            raise ValueError("model.attn_impl is only wired for size='full'")
+        kwargs["attn_impl"] = attn_impl
     return factory(**kwargs)

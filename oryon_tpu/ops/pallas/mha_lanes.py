@@ -154,6 +154,13 @@ def fused_mha_lanes_qkv(
         out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, C), qkv.dtype),
+        # The per-program scratch (f32 [L, L] scores + exp temporaries +
+        # double-buffered [1, L, 3C] blocks) measures 22.3 MB at the train
+        # shape (64 rows x L=640), over Mosaic's 16 MB default scoped-VMEM
+        # budget; v5e has 128 MB of VMEM, so raise the cap rather than
+        # shrink the kernel (q-tiling would re-fetch k/v per tile).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(qkv, kmask2)
 

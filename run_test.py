@@ -56,9 +56,11 @@ def main(argv):
     print(f"TESTING on {cfg.dataset.test.name}, split {cfg.dataset.test.split}."
           f" Samples: {len(ds)}")
 
-    from oryon_tpu.models.oryon import resolve_quant
+    from oryon_tpu.models.oryon import resolve_attn_impl, resolve_quant
     model = build_model(cfg.model.size,
-                        quant=resolve_quant(cfg.model.size, cfg.model.quant))
+                        quant=resolve_quant(cfg.model.size, cfg.model.quant),
+                        attn_impl=resolve_attn_impl(cfg.model.size,
+                                                    cfg.model.attn_impl))
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)

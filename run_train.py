@@ -118,10 +118,12 @@ def main(argv):
 
     # training stays bf16 strict parity by default (model.train_quant);
     # the int8 inference default does NOT apply to the train step
-    from oryon_tpu.models.oryon import resolve_quant
+    from oryon_tpu.models.oryon import resolve_attn_impl, resolve_quant
     model = build_model(cfg.model.size,
                         quant=resolve_quant(cfg.model.size,
-                                            cfg.model.train_quant))
+                                            cfg.model.train_quant),
+                        attn_impl=resolve_attn_impl(cfg.model.size,
+                                                    cfg.model.attn_impl))
     key = jax.random.PRNGKey(cfg.seed)
     sample = next(train_ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, lr=cfg.optimization.lr,

@@ -44,7 +44,8 @@ def main(argv):
     from oryon_tpu.data.datasets import PairDataset, pick_reader
     from oryon_tpu.data.loader import PrefetchLoader
     from oryon_tpu.eval.evaluator import BatchedEvaluator as Evaluator
-    from oryon_tpu.models.oryon import build_model, resolve_quant
+    from oryon_tpu.models.oryon import (build_model, resolve_attn_impl,
+                                        resolve_quant)
     from oryon_tpu.models.tokenizer import ClipTokenizer
     from oryon_tpu.pipeline import (build_pipeline, make_pipeline_config,
                                     make_text_cache, run_test_epoch)
@@ -84,7 +85,9 @@ def main(argv):
           f"epochs={wanted}", flush=True)
 
     model = build_model(cfg.model.size,
-                        quant=resolve_quant(cfg.model.size, cfg.model.quant))
+                        quant=resolve_quant(cfg.model.size, cfg.model.quant),
+                        attn_impl=resolve_attn_impl(cfg.model.size,
+                                                    cfg.model.attn_impl))
     key = jax.random.PRNGKey(cfg.seed if cfg.use_seed else 1)
     sample = next(ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, total_steps=1)

@@ -119,3 +119,21 @@ def test_swin_tower_int8_matches_bf16():
         b = np.asarray(b, np.float64).ravel()
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.99, cos
+
+
+def test_attn_impl_config_plumbing():
+    """model.attn_impl reaches the vision tower (the fused_i8qk A/B switch,
+    VERDICT r3 next #7) with the same size policy as model.quant: full only,
+    smoke sizes resolve back to the default instead of tripping the guard."""
+    import pytest
+
+    from oryon_tpu.config import load_config
+    from oryon_tpu.models.oryon import build_model, resolve_attn_impl
+    cfg = load_config(None, ["model.attn_impl=fused_i8qk"])
+    assert resolve_attn_impl("full", cfg.model.attn_impl) == "fused_i8qk"
+    assert resolve_attn_impl("tiny", cfg.model.attn_impl) == "fused"
+    m = build_model("full", attn_impl="fused_i8qk")
+    assert m.vision_cfg.attn_impl == "fused_i8qk"
+    assert build_model("full").vision_cfg.attn_impl == "fused"
+    with pytest.raises(ValueError):
+        build_model("small", attn_impl="fused_i8qk")
