@@ -52,11 +52,16 @@ def test_clip_tower_flash_impl_matches_einsum(rng):
         x = jnp.array(rng.rand(2, 56, 56, 3).astype(np.float32))
         params = t_e.init(jax.random.PRNGKey(0), x)
         o_e = np.asarray(t_e.apply(params, x))
-        for impl in ("flash", "fused"):
+        # fused_i8qk quantizes the attention logits (~1% noise by design),
+        # so it gets a looser tolerance; it still must go through the same
+        # hoisted pad (a missing pad hits the kernel's L%128 assert — the
+        # exact regression the round-4 TPU verify probe caught at L=577)
+        for impl, tol in (("flash", 5e-3), ("fused", 5e-3),
+                          ("fused_i8qk", 5e-2)):
             t_f = ClipVisionTower(ClipVisionConfig(**cfg, attn_impl=impl),
                                   dtype=jnp.float32)
             o_f = np.asarray(t_f.apply(params, x))
-            np.testing.assert_allclose(o_e, o_f, atol=5e-3, rtol=5e-3,
+            np.testing.assert_allclose(o_e, o_f, atol=tol, rtol=tol,
                                        err_msg=impl)
     finally:
         pl.pallas_call = orig
