@@ -99,3 +99,58 @@ def restore_checkpoint(cfg: Config, state: Any,
     return state.replace(params=restored["params"],
                          opt_state=restored["opt_state"],
                          step=restored["step"]), epoch
+
+
+def restore_params_only(cfg: Config, state: Any, spec: str) -> Tuple[Any, str]:
+    """Warm-start ``state.params`` from another experiment's checkpoint,
+    leaving optimizer state and step fresh.
+
+    ``spec``: '<exp_name>', '<exp_name>:<epoch|last>', or a direct path to
+    an 'epoch=NNNN' dir.  This is the fine-tune entry (cfg.init_params_from):
+    unlike ``restore_checkpoint`` it does not need the source run's optax
+    partition to match — e.g. a model.train_towers run warm-started from a
+    frozen-tower run has a different opt_state pytree, but the identical
+    param tree.  Returns (state, resolved_path)."""
+    import dataclasses
+
+    import jax
+
+    if os.path.isdir(spec):
+        path = os.path.abspath(spec)
+    else:
+        exp, _, which = spec.partition(":")
+        which = which or "last"
+        src_cfg = dataclasses.replace(cfg, exp_name=exp)
+        ckpts = list_checkpoints(src_cfg)
+        if not ckpts:
+            raise FileNotFoundError(
+                f"init_params_from={spec}: no checkpoints in "
+                f"{ckpt_dir(src_cfg)}")
+        if which == "last":
+            path = ckpts[-1][1]
+        else:
+            matches = [c for c in ckpts if c[0] == int(which)]
+            if not matches:
+                raise FileNotFoundError(
+                    f"init_params_from={spec}: no checkpoint for epoch "
+                    f"{which} in {ckpt_dir(src_cfg)}")
+            path = matches[0][1]
+        path = os.path.abspath(path)
+    # restore ONLY the params subtree against its template — opt_state in
+    # the checkpoint may have a different structure than state.opt_state
+    # (different trainable partition), so a full-template restore would fail
+    template = {"params": state.params}
+    raw = ocp.PyTreeCheckpointer().restore(
+        path, item=template,
+        transforms={},  # drop checkpoint entries absent from the template
+        restore_args=jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(), template),
+    )
+    params = raw["params"]
+    want = jax.tree_util.tree_structure(state.params)
+    got = jax.tree_util.tree_structure(params)
+    if want != got:
+        raise ValueError(
+            f"init_params_from={spec}: param tree mismatch vs {path} "
+            "(different model.size/topology?)")
+    return state.replace(params=params), path

@@ -91,6 +91,13 @@ class ModelConfig:
     # Smoke-test sizes (small/tiny) have no CLIP tower -> quant is ignored
     # for them (models/oryon.py resolve_quant).
     quant: str = "int8"
+    # oryon_tpu extension (the reference always freezes the towers): train
+    # the CLIP-vision + Swin towers jointly with fusion/decoder.  The
+    # in-sandbox control for the AR ceiling — pretrained tower weights are
+    # un-downloadable here, so the frozen towers are random; this tests
+    # whether the residual headroom is tower-bound (models/oryon.py
+    # OryonModel.train_towers).  Text tower stays frozen (prompt cache).
+    train_towers: bool = False
     # CLIP vision-tower attention implementation (models/clip.py
     # MultiHeadAttention): "fused" = lane-packed Pallas MHA (default);
     # "fused_i8qk" additionally computes the attention logits on the int8
@@ -235,6 +242,14 @@ class Config:
     debug_valid: bool = False
     profiler: bool = False
     resume_ckpt: str = "none"
+    # Warm-start params (only) from another experiment's checkpoint:
+    # '<exp_name>', '<exp_name>:<epoch|last>', or a direct path to an
+    # 'epoch=NNNN' dir.  Optimizer state and step stay fresh — the fine-tune
+    # entry point (e.g. unfreezing towers via model.train_towers needs a
+    # different optax partition than the source run, so resume_ckpt cannot
+    # restore across that boundary).  oryon_tpu extension; the reference's
+    # Lightning resume is whole-state only (run_train.py:29-43).
+    init_params_from: str = "none"
 
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -201,13 +201,21 @@ class _ScanBlock(nn.Module):
 
 
 def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
-                attn_impl: str = "auto", seg=None, quant: str = "none"):
+                attn_impl: str = "auto", seg=None, quant: str = "none",
+                remat: bool = False):
     """Transformer stack: nn.scan over one compiled block (compile time and
     HLO size ~layers-times smaller than unrolling — critical for the 24-layer
-    ViT-L under slow remote compilation) or the unrolled fallback."""
+    ViT-L under slow remote compilation) or the unrolled fallback.
+
+    ``remat``: checkpoint each block so backward recomputes its internals
+    instead of saving them — required to fit train_towers (gradients through
+    the 24-layer ViT-L) in v5e HBM: without it the saved per-layer attention
+    internals at B=32 exceed 16 GiB (measured OOM, BASELINE.md round 4).
+    prevent_cse=False is the documented safe setting under scan/jit."""
     if scan:
+        Body = nn.remat(_ScanBlock, prevent_cse=False) if remat else _ScanBlock
         Blocks = nn.scan(
-            _ScanBlock,
+            Body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast),
@@ -216,9 +224,11 @@ def _run_blocks(x, mask, width, heads, layers, dtype, scan: bool,
         x, _ = Blocks(width, heads, dtype, attn_impl, quant,
                       name="resblocks")(x, mask, seg)
         return x
+    Block = (nn.remat(ResidualAttentionBlock, prevent_cse=False)
+             if remat else ResidualAttentionBlock)
     for i in range(layers):
-        x = ResidualAttentionBlock(width, heads, dtype, attn_impl, quant,
-                                   name=f"resblock_{i}")(x, mask, seg)
+        x = Block(width, heads, dtype, attn_impl, quant,
+                  name=f"resblock_{i}")(x, mask, seg)
     return x
 
 
@@ -232,6 +242,7 @@ class ClipVisionTower(nn.Module):
     cfg: ClipVisionConfig = ClipVisionConfig()
     dtype: Any = jnp.bfloat16
     scan_layers: bool = True
+    remat: bool = False  # checkpoint blocks (train_towers memory fit)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -259,7 +270,8 @@ class ClipVisionTower(nn.Module):
             # path's trace-time contract check passes under jit
             seg = (jnp.arange(Lp) < L).astype(jnp.int32)
         x = _run_blocks(x, None, c.width, c.heads, c.layers, self.dtype,
-                        self.scan_layers, c.attn_impl, seg=seg, quant=c.quant)
+                        self.scan_layers, c.attn_impl, seg=seg, quant=c.quant,
+                        remat=self.remat)
         toks = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 1:L, :])
         return toks.reshape(B, c.grid, c.grid, c.width).astype(jnp.float32)
 

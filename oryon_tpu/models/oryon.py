@@ -56,11 +56,25 @@ class OryonModel(nn.Module):
     swin_cfg: SwinConfig = SwinConfig()
     swin_image_size: int = 384
     dtype: Any = jnp.bfloat16
+    # oryon_tpu extension (NOT in the reference, which always freezes the
+    # towers — reference pipeline.py net.py:37-43): let gradients flow into
+    # the CLIP-vision + Swin towers.  The in-sandbox scientific control for
+    # the AR ceiling: with pretrained weights un-downloadable, the frozen
+    # towers are RANDOM, and the stage ladder attributes the residual AR
+    # headroom to feature quality — training the towers jointly tests
+    # whether the ceiling is tower-bound.  The text tower always stays
+    # frozen (the per-class prompt-embedding cache contract).
+    train_towers: bool = False
 
     def setup(self):
-        self.vlm_visual = ClipVisionTower(self.vision_cfg, dtype=self.dtype)
+        # remat is tied to train_towers: checkpointing only changes the
+        # backward pass, and gradients only reach the towers when training
+        # them — frozen towers keep the cheaper no-remat forward.
+        self.vlm_visual = ClipVisionTower(self.vision_cfg, dtype=self.dtype,
+                                          remat=self.train_towers)
         self.vlm_text = ClipTextTower(self.text_cfg, dtype=self.dtype)
-        self.guidance = SwinGuidance(self.swin_cfg, dtype=self.dtype)
+        self.guidance = SwinGuidance(self.swin_cfg, dtype=self.dtype,
+                                     remat=self.train_towers)
         self.fusion = ImageTextFusion(self.fusion_cfg, dtype=self.dtype)
         self.decoder = StandardDecoder(self.decoder_cfg, dtype=self.dtype)
 
@@ -76,8 +90,9 @@ class OryonModel(nn.Module):
             resize2d(rgb2, (sw, sw), "cubic", align_corners=True),
             IMAGENET_MEAN, IMAGENET_STD)
         guid = self.guidance(swin_in)                           # [g1, g2, g3]
-        visual = jax.lax.stop_gradient(visual)
-        guid = [jax.lax.stop_gradient(g) for g in guid]
+        if not self.train_towers:
+            visual = jax.lax.stop_gradient(visual)
+            guid = [jax.lax.stop_gradient(g) for g in guid]
         return visual, guid
 
     def encode_prompts(self, prompt_ids: jnp.ndarray) -> jnp.ndarray:
@@ -121,7 +136,8 @@ class OryonModel(nn.Module):
 
 
 def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none",
-               attn_impl: str = "fused") -> OryonModel:
+               attn_impl: str = "fused",
+               train_towers: bool = False) -> OryonModel:
     """Production configuration (reference configs/config.yaml:31-39):
     ViT-L/14@336, Swin-B@384, 192² x 32-ch output.
 
@@ -136,17 +152,19 @@ def full_oryon(dtype: Any = jnp.bfloat16, quant: str = "none",
     "fused_i8qk" = int8-MXU logits, opt-in pending a trained-weight A/B)."""
     return OryonModel(vision_cfg=ClipVisionConfig(quant=quant,
                                                   attn_impl=attn_impl),
-                      dtype=dtype)
+                      dtype=dtype, train_towers=train_towers)
 
 
 MODEL_FACTORIES = {"full": full_oryon}  # extended below
 
 
-def small_oryon(dtype: Any = jnp.float32) -> OryonModel:
+def small_oryon(dtype: Any = jnp.float32,
+                train_towers: bool = False) -> OryonModel:
     """CLI smoke-test configuration: real tokenizer vocab/context (49408/77)
     with small towers; 64² output. Lets run_train/run_test execute end to end
     on fixture datasets without the 300M-parameter towers."""
     return OryonModel(
+        train_towers=train_towers,
         vision_cfg=ClipVisionConfig(image_size=112, patch_size=14, width=64,
                                     layers=2, heads=4),
         text_cfg=ClipTextConfig(vocab_size=49408, context_length=77, width=64,
@@ -164,12 +182,14 @@ def small_oryon(dtype: Any = jnp.float32) -> OryonModel:
     )
 
 
-def tiny_oryon(dtype: Any = jnp.float32) -> OryonModel:
+def tiny_oryon(dtype: Any = jnp.float32,
+               train_towers: bool = False) -> OryonModel:
     """Scaled-down configuration for tests: same topology, ~1000x fewer FLOPs.
 
     Grid: 4x4 visual tokens, guidance taps at 4/8/16, output 32² x 32-ch.
     """
     return OryonModel(
+        train_towers=train_towers,
         vision_cfg=ClipVisionConfig(image_size=56, patch_size=14, width=64,
                                     layers=2, heads=4),
         text_cfg=ClipTextConfig(vocab_size=600, context_length=16, width=32,
@@ -212,7 +232,8 @@ def resolve_attn_impl(size: str, attn_impl: str) -> str:
 
 
 def build_model(size: str = "full", dtype: Any = None,
-                quant: str = "none", attn_impl: str = "fused") -> OryonModel:
+                quant: str = "none", attn_impl: str = "fused",
+                train_towers: bool = False) -> OryonModel:
     factory = MODEL_FACTORIES[size]
     kwargs = {}
     if dtype is not None:
@@ -225,4 +246,6 @@ def build_model(size: str = "full", dtype: Any = None,
         if size != "full":
             raise ValueError("model.attn_impl is only wired for size='full'")
         kwargs["attn_impl"] = attn_impl
+    if train_towers:
+        kwargs["train_towers"] = True
     return factory(**kwargs)

@@ -268,6 +268,10 @@ class SwinGuidance(nn.Module):
 
     cfg: SwinConfig = SwinConfig()
     dtype: Any = jnp.bfloat16
+    # Checkpoint each SwinBlock so backward recomputes window attention
+    # instead of saving it — needed alongside the CLIP remat to fit
+    # train_towers (gradients through both towers) in v5e HBM.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -285,13 +289,15 @@ class SwinGuidance(nn.Module):
                 if (Hp, Wp) != (H, W):
                     real_hw = (H, W)
                     x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+            Block = (nn.remat(SwinBlock, prevent_cse=False)
+                     if self.remat else SwinBlock)
             for i in range(depth):
-                x = SwinBlock(dim, heads, c.window,
-                              shift=0 if i % 2 == 0 else c.window // 2,
-                              mlp_ratio=c.mlp_ratio, dtype=self.dtype,
-                              attn_impl=c.attn_impl, quant=c.quant,
-                              real_hw=real_hw,
-                              name=f"{prefix}_block{i}")(x)
+                x = Block(dim, heads, c.window,
+                          shift=0 if i % 2 == 0 else c.window // 2,
+                          mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                          attn_impl=c.attn_impl, quant=c.quant,
+                          real_hw=real_hw,
+                          name=f"{prefix}_block{i}")(x)
             if real_hw is not None:
                 x = x[:, :real_hw[0], :real_hw[1]]
             return x

@@ -36,11 +36,19 @@ class TrainState(struct.PyTreeNode):
     loss_cfg: FeatureLossConfig = struct.field(pytree_node=False)
 
 
-def trainable_label(path: Tuple, _leaf: Any) -> str:
-    """'train' for fusion/decoder subtrees, 'frozen' otherwise."""
+def trainable_label(path: Tuple, _leaf: Any, train_towers: bool = False) -> str:
+    """'train' for fusion/decoder subtrees, 'frozen' otherwise.
+
+    ``train_towers`` (the oryon_tpu control extension, models/oryon.py
+    OryonModel.train_towers) flips the vision towers to 'train' as well;
+    the text tower stays 'frozen' — its output is stop-gradient'd
+    regardless (prompt-embedding cache contract), so allocating AdamW
+    state for it would be pure waste."""
     for p in path:
         key = getattr(p, "key", None)
         if key in TRAINABLE_PREFIXES:
+            return "train"
+        if train_towers and key in ("vlm_visual", "guidance"):
             return "train"
     return "frozen"
 
@@ -67,6 +75,7 @@ def make_optimizer(
     optim_type: str = "Adam",
     scheduler_type: str = "cosine",
     momentum: float = 0.0,
+    train_towers: bool = False,
 ) -> optax.GradientTransformation:
     """Optimizer partition honoring the reference's optimization block
     (configs/config.yaml:64-70): optim_type Adam(W)/SGD, cosine or constant
@@ -84,7 +93,8 @@ def make_optimizer(
         )
     else:
         raise ValueError(f"optim_type {optim_type}")
-    labels = jax.tree_util.tree_map_with_path(trainable_label, params)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, x: trainable_label(p, x, train_towers), params)
     tx = optax.multi_transform(
         {"train": opt, "frozen": optax.set_to_zero()},
         labels,
@@ -108,7 +118,8 @@ def create_train_state(
     params = model.init(key, sample_batch.anchor.rgb, sample_batch.query.rgb,
                         sample_batch.prompt_ids)
     tx = make_optimizer(params, lr, weight_decay, total_steps, gamma,
-                        optim_type, scheduler_type, momentum)
+                        optim_type, scheduler_type, momentum,
+                        train_towers=getattr(model, "train_towers", False))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

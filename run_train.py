@@ -123,7 +123,11 @@ def main(argv):
                         quant=resolve_quant(cfg.model.size,
                                             cfg.model.train_quant),
                         attn_impl=resolve_attn_impl(cfg.model.size,
-                                                    cfg.model.attn_impl))
+                                                    cfg.model.attn_impl),
+                        train_towers=cfg.model.train_towers)
+    if cfg.model.train_towers:
+        print("train_towers=TRUE: CLIP-vision + Swin receive gradients "
+              "(oryon_tpu control extension; reference freezes them)")
     key = jax.random.PRNGKey(cfg.seed)
     sample = next(train_ds.batches(cfg.dataset.batch_size))
     state = create_train_state(model, key, sample, lr=cfg.optimization.lr,
@@ -140,6 +144,11 @@ def main(argv):
         state = state.replace(params=new_params)
         for line in report:
             print(line)
+    if cfg.init_params_from != "none":
+        from oryon_tpu.checkpoint import restore_params_only
+        state, src_path = restore_params_only(cfg, state, cfg.init_params_from)
+        print(f"warm-started params from {src_path} "
+              "(fresh optimizer state / schedule)")
     start_epoch = 0
     if cfg.resume_ckpt != "none":
         state, epoch = restore_checkpoint(cfg, state, cfg.resume_ckpt)

@@ -57,6 +57,42 @@ def test_restore_without_checkpoints(tmp_path):
     assert epoch == -1 and same is state
 
 
+def test_restore_params_only_across_optimizer_partition(tmp_path):
+    """cfg.init_params_from: warm-start a train_towers run (different optax
+    partition -> different opt_state pytree) from a frozen-tower run's
+    checkpoint — params restored exactly, optimizer/step left fresh."""
+    from oryon_tpu.checkpoint import restore_params_only
+
+    cfg = Config(exp_root=str(tmp_path), exp_name="src")
+    init_experiment(cfg)
+    state, batch = _make_state()
+    step = jit_train_step(donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    save_checkpoint(cfg, 3, state)
+
+    model_tt = tiny_oryon(train_towers=True)
+    fresh = create_train_state(model_tt, jax.random.PRNGKey(7), batch,
+                               total_steps=10)
+    dst_cfg = Config(exp_root=str(tmp_path), exp_name="dst",
+                     init_params_from="src:last")
+    warm, path = restore_params_only(dst_cfg, fresh,
+                                     dst_cfg.init_params_from)
+    assert path.endswith("epoch=0003")
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(warm.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(warm.step) == 0  # fresh schedule
+    # by epoch number + direct-path forms resolve to the same checkpoint
+    _, p2 = restore_params_only(dst_cfg, fresh, "src:3")
+    assert p2 == path
+    _, p3 = restore_params_only(dst_cfg, fresh, path)
+    assert p3 == path
+    with pytest.raises(FileNotFoundError):
+        restore_params_only(dst_cfg, fresh, "src:9")
+    with pytest.raises(FileNotFoundError):
+        restore_params_only(dst_cfg, fresh, "ghost:last")
+
+
 def test_metric_logger(tmp_path):
     ml = MetricLogger(str(tmp_path), "run")
     ml.log_step(1, {"loss/total": 1.0}, prefix="train")

@@ -168,6 +168,32 @@ def test_train_step_decreases_loss_and_updates_only_trainable():
     assert changed_trainable
 
 
+def test_train_towers_unfreezes_vision_towers():
+    """model.train_towers (oryon_tpu control extension; the reference always
+    freezes — net.py:37-43): gradients reach CLIP-vision + Swin, the text
+    tower stays frozen (prompt-cache contract)."""
+    from oryon_tpu.train import create_train_state, jit_train_step
+    model = tiny_oryon(train_towers=True)
+    batch = synthetic_pair_batch(seed=0, batch=2, img_hw=(28, 28), n_corrs=32,
+                                 n_prompts=2, context_len=16, vocab=600)
+    state = create_train_state(model, KEY, batch, lr=3e-4, total_steps=50)
+    step = jit_train_step(donate=False)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    changed = {"vlm_visual": False, "guidance": False}
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p0)[0],
+            jax.tree_util.tree_flatten_with_path(state.params)[0]):
+        name = "/".join(str(getattr(p, "key", "")) for p in path)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert "vlm_text" not in name or diff == 0.0, \
+            f"text param changed: {name}"
+        for tower in changed:
+            if tower in name and diff > 0:
+                changed[tower] = True
+    assert all(changed.values()), changed
+
+
 def test_train_text_cache_equivalence():
     """Train step with the content-keyed text-embedding cache == without."""
     from oryon_tpu.pipeline import make_train_text_cache
