@@ -143,6 +143,14 @@ class TestConfig:
     mask_threshold: float = 0.5
     only_save_masks: bool = False
     only_save_featmaps: bool = False
+    # oryon_tpu extension (OFF by default for strict reference parity — the
+    # reference defines icp but never calls it, utils/geo6d.py:157): dense
+    # trimmed-ICP refinement of the solver pose on the masked depth clouds
+    # (pipeline.PipelineConfig icp_*; geometry/kabsch.py masked_icp).
+    icp_refine: bool = False
+    icp_points: int = 512
+    icp_iters: int = 8
+    icp_trim: float = 0.7
 
 
 @dataclass

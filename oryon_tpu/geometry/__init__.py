@@ -17,4 +17,5 @@ from oryon_tpu.geometry.kabsch import (
     weighted_kabsch,
     ransac_kabsch,
     icp,
+    masked_icp,
 )

@@ -204,6 +204,57 @@ def ransac_kabsch(
     return T, counts[best]
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def masked_icp(
+    src: jnp.ndarray,
+    src_valid: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_valid: jnp.ndarray,
+    init_T: jnp.ndarray,
+    iters: int = 8,
+    trim: float = 0.7,
+) -> jnp.ndarray:
+    """Trimmed, validity-masked ICP for pose REFINEMENT on fixed-capacity
+    clouds — the dense-geometry upgrade the correspondence solvers can't
+    reach (their precision is floored by featmap-pixel quantization of the
+    matches; ICP aligns the full masked depth clouds directly).
+
+    src [N,3], dst [M,3] in meters with ``*_valid`` masks for padded slots
+    (ops/sampling.py fixed-capacity contract).  Per iteration: transform
+    ORIGINAL src by the current T, NN-match on a fp32-clamped MXU distance
+    matrix (invalid dst columns = +inf), keep the best ``trim`` fraction of
+    valid matches (distance-quantile threshold — partial-overlap handling:
+    points seen only in one view get trimmed), refit FROM THE ORIGINAL src
+    with weighted_kabsch (no incremental drift).  Fixed trip count, fully
+    vmap/jit-friendly; degenerate iterations (<4 trimmed matches) keep the
+    previous T.  No reference analog: the reference defines but never calls
+    its icp (utils/geo6d.py:157, unused per pipeline.py imports).
+    """
+    N = src.shape[0]
+    srcv = src_valid.astype(bool)
+    dstv = dst_valid.astype(bool)
+    n_src = jnp.sum(srcv)
+    # trimmed-match count: trim fraction of the valid src points
+    k_keep = jnp.clip((trim * n_src).astype(jnp.int32), 4, N)
+
+    def body(T, _):
+        s = transform_pcd(src, T[:3, :3], T[:3, 3])
+        d2 = sq_dist_matrix(s, dst)
+        d2 = jnp.where(dstv[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=-1)
+        dist = jnp.sqrt(jnp.take_along_axis(d2, nn[:, None], axis=-1)[:, 0])
+        dist = jnp.where(srcv, dist, jnp.inf)
+        thr = jnp.sort(dist)[jnp.maximum(k_keep - 1, 0)]
+        w = (srcv & (dist <= thr) & jnp.isfinite(dist)).astype(jnp.float32)
+        ok = jnp.sum(w) >= 4
+        T_new = weighted_kabsch(src, dst[nn], w)
+        return jnp.where(ok, T_new, T), None
+
+    T, _ = jax.lax.scan(body, init_T.astype(jnp.float32), None, length=iters)
+    enough = (n_src >= 4) & (jnp.sum(dstv) >= 4)
+    return jnp.where(enough, T, init_T.astype(jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("max_iterations",))
 def icp(
     A: jnp.ndarray,

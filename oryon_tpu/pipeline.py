@@ -44,6 +44,15 @@ class PipelineConfig:
     ransac_hypotheses: int = 1024
     ransac_match_err: float = 0.001     # reference pipeline.py:463
     debug_valid: bool = False           # GT corrs -> solver upper bound
+    # Opt-in dense-geometry pose refinement (oryon_tpu extension — the
+    # reference defines icp but never calls it, utils/geo6d.py:157): after
+    # the correspondence solver, trimmed masked ICP between fixed-capacity
+    # clouds sampled from the match masks' depth (geometry/kabsch.py
+    # masked_icp).  Off by default for strict reference parity.
+    icp_refine: bool = False
+    icp_points: int = 512               # per-view cloud capacity
+    icp_iters: int = 8
+    icp_trim: float = 0.7               # kept fraction (partial overlap)
     # learning-signal metrics (reference compute_fmr, utils/metrics.py:59-77):
     # FMR over features at the GT correspondence pixels (dist = inverted
     # cosine, thresholds follow the loss margins) and the geometric inlier
@@ -108,6 +117,59 @@ def _lift_corrs(
     return pa, pq, ok
 
 
+def _lift_mask_cloud(
+    key: jax.Array,
+    mask_f: jnp.ndarray,       # [FH, FW] 0/1 featmap-frame mask
+    depth: jnp.ndarray,        # [Ho, Wo] mm
+    camera: jnp.ndarray,       # [9]
+    size: jnp.ndarray,         # [2] original (H, W)
+    feat_hw: Tuple[int, int],
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-capacity 3D cloud from one view's mask: sample up to
+    ``capacity`` mask pixels (featmap frame), rescale to the original
+    frame, lift through the depth (meters).  Returns (pts [capacity,3],
+    valid [capacity])."""
+    from oryon_tpu.ops.sampling import flat_to_yx, masked_select
+    Ho, Wo = depth.shape
+    idx, valid = masked_select(mask_f, key, capacity)
+    yx = flat_to_yx(idx, mask_f.shape[1]).astype(jnp.float32)
+    c = scale_coords(yx, feat_hw, size.astype(jnp.float32))
+    ok = valid & valid_coords(c, size)
+    ci = jnp.clip(c.astype(jnp.int32), 0, jnp.array([Ho - 1, Wo - 1]))
+    p = lift_pcd_at(depth, camera, ci) / 1000.0
+    return p, ok & (p[:, 2] > 0)
+
+
+def _icp_refine_pose(
+    key: jax.Array,
+    T: jnp.ndarray,            # [4,4] solver pose (anchor -> query)
+    n_corrs: jnp.ndarray,      # [] valid-corr count (refine only when >= 4)
+    mask_a: jnp.ndarray,       # [FH, FW] match masks
+    mask_q: jnp.ndarray,
+    depth_a: jnp.ndarray,
+    depth_q: jnp.ndarray,
+    camera_a: jnp.ndarray,
+    camera_q: jnp.ndarray,
+    size_a: jnp.ndarray,
+    size_q: jnp.ndarray,
+    feat_hw: Tuple[int, int],
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Dense trimmed-ICP refinement of the solver pose on the masked depth
+    clouds (cfg.icp_refine).  Skipped (identity on T) for pairs without a
+    usable solver initialization."""
+    from oryon_tpu.geometry.kabsch import masked_icp
+    ka, kq = jax.random.split(key)
+    pa, va = _lift_mask_cloud(ka, mask_a, depth_a, camera_a, size_a,
+                              feat_hw, cfg.icp_points)
+    pq, vq = _lift_mask_cloud(kq, mask_q, depth_q, camera_q, size_q,
+                              feat_hw, cfg.icp_points)
+    T_ref = masked_icp(pa, va, pq, vq, T, iters=cfg.icp_iters,
+                       trim=cfg.icp_trim)
+    return jnp.where(n_corrs >= 4, T_ref, T)
+
+
 def _pose_from_corrs(
     key: jax.Array,
     corrs_yx: jnp.ndarray,     # [N, 4] featmap coords
@@ -160,6 +222,10 @@ def make_pipeline_config(cfg, solver: str,
         debug_valid=cfg.debug_valid,
         match=MatchParams(src_capacity=5120, max_corrs=cfg.test.n_corrs,
                           dist_th=cfg.test.dist_th),
+        icp_refine=cfg.test.icp_refine,
+        icp_points=cfg.test.icp_points,
+        icp_iters=cfg.test.icp_iters,
+        icp_trim=cfg.test.icp_trim,
     )
 
 
@@ -275,8 +341,8 @@ def build_pipeline(
         det_valid = ((jnp.sum(match_mask_a, axis=(1, 2)) > 0)
                      & (jnp.sum(match_mask_q, axis=(1, 2)) > 0))
 
-        keys = jax.random.split(key, 2 * B)
-        k_match, k_solve = keys[:B], keys[B:]
+        keys = jax.random.split(key, 3 * B)
+        k_match, k_solve, k_icp = keys[:B], keys[B:2 * B], keys[2 * B:]
 
         if cfg.debug_valid:
             # GT-correspondence upper bound (reference debug_valid,
@@ -297,28 +363,36 @@ def build_pipeline(
                 gt_fc = gt_fc[:, : cfg.match.max_corrs]
                 gt_cv = batch.corr_valid[:, : cfg.match.max_corrs]
 
-            def per_pair_gt(cy, cv, ks, da, dq, cam_a, cam_q, sa, sq):
+            def per_pair_gt(cy, cv, ks, ki, ma, mq, da, dq, cam_a, cam_q,
+                            sa, sq):
                 T, n = _pose_from_corrs(ks, cy, cv, da, dq, cam_a, cam_q,
                                         sa, sq, (FH, FW), cfg, pointdsc)
+                if cfg.icp_refine:
+                    T = _icp_refine_pose(ki, T, n, ma, mq, da, dq, cam_a,
+                                         cam_q, sa, sq, (FH, FW), cfg)
                 return cy, cv, T, n
 
             corrs_yx, corr_valid, T_rel, n_corrs = jax.vmap(per_pair_gt)(
-                gt_fc, gt_cv, k_solve,
+                gt_fc, gt_cv, k_solve, k_icp, match_mask_a, match_mask_q,
                 batch.anchor.orig_depth, batch.query.orig_depth,
                 batch.anchor.camera, batch.query.camera,
                 batch.anchor.size, batch.query.size,
             )
         else:
-            def per_pair(fa, fq, ma, mq, km, ks, da, dq, cam_a, cam_q, sa, sq):
+            def per_pair(fa, fq, ma, mq, km, ks, ki, da, dq, cam_a, cam_q,
+                         sa, sq):
                 corr = nn_correspondences(fa, fq, ma, mq, km, cfg.match)
                 T, n = _pose_from_corrs(ks, corr.yx, corr.valid, da, dq,
                                         cam_a, cam_q, sa, sq, (FH, FW),
                                         cfg, pointdsc)
+                if cfg.icp_refine:
+                    T = _icp_refine_pose(ki, T, n, ma, mq, da, dq, cam_a,
+                                         cam_q, sa, sq, (FH, FW), cfg)
                 return corr.yx, corr.valid, T, n
 
             corrs_yx, corr_valid, T_rel, n_corrs = jax.vmap(per_pair)(
                 out.featmap_a, out.featmap_q, match_mask_a, match_mask_q,
-                k_match, k_solve,
+                k_match, k_solve, k_icp,
                 batch.anchor.orig_depth, batch.query.orig_depth,
                 batch.anchor.camera, batch.query.camera,
                 batch.anchor.size, batch.query.size,

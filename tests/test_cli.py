@@ -229,7 +229,9 @@ def test_make_pipeline_config_plumbs_cfg():
 
     cfg = load_config(None, ["debug_valid=true", "test.mask=oracle",
                              "test.n_corrs=123", "test.dist_th=0.33",
-                             "test.mask_threshold=0.41"])
+                             "test.mask_threshold=0.41",
+                             "test.icp_refine=true", "test.icp_points=256",
+                             "test.icp_iters=5", "test.icp_trim=0.6"])
     p = make_pipeline_config(cfg, "ransac")
     assert p.debug_valid is True
     assert p.mask_source == "oracle"
@@ -237,6 +239,8 @@ def test_make_pipeline_config_plumbs_cfg():
     assert p.match.max_corrs == 123
     assert p.match.dist_th == 0.33
     assert p.mask_threshold == 0.41
+    assert p.icp_refine is True
+    assert (p.icp_points, p.icp_iters, p.icp_trim) == (256, 5, 0.6)
     # run_train validation pins predicted masks but must keep debug_valid
     pv = make_pipeline_config(cfg, "pointdsc", mask_source="predicted")
     assert pv.mask_source == "predicted" and pv.debug_valid is True

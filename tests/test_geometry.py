@@ -151,6 +151,68 @@ def test_icp_converges_small_perturbation(rng):
     np.testing.assert_allclose(T[:3, :3], Rz, atol=1e-3)
 
 
+def test_masked_icp_partial_overlap_refines(rng):
+    """masked_icp (the dense pose-refinement stage, pipeline icp_refine):
+    partial-overlap clouds with padded invalid slots + a perturbed init —
+    the trimmed fit must recover the exact pose, and padding rows must not
+    change the result."""
+    from oryon_tpu.geometry import masked_icp
+
+    # bumpy height-field SURFACE (the ICP operating regime — depth clouds
+    # are 2D surfaces; a random volume blob has no structure to lock onto):
+    # fine grid, two views sample DIFFERENT subsets of partially-overlapping
+    # x-ranges, like two sampled depth maps of the same object.
+    lin = np.linspace(0.0, 0.12, 60, dtype=np.float32)
+    gx, gy = np.meshgrid(lin, lin)
+    gz = 0.02 * np.sin(gx * 80) + 0.015 * np.cos(gy * 60)
+    surf = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    T = random_pose(rng, t_scale=0.1).astype(np.float32)
+    pool_a = surf[surf[:, 0] < 0.10]
+    pool_b = surf[surf[:, 0] > 0.02]
+    src = pool_a[rng.choice(len(pool_a), 400, replace=False)]
+    dst = (pool_b[rng.choice(len(pool_b), 400, replace=False)]
+           @ T[:3, :3].T) + T[:3, 3]
+    # perturbed init: ~2.9 deg + ~1 cm off (solver-output scale)
+    ang = 0.05
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    T0 = T.copy()
+    T0[:3, :3] = T[:3, :3] @ Rz
+    T0[:3, 3] += np.array([0.006, -0.008, 0.005], np.float32)
+
+    def pad(pts, cap):
+        v = np.zeros(cap, bool)
+        v[: len(pts)] = True
+        out = np.full((cap, 3), 7.7, np.float32)                # garbage pads
+        out[: len(pts)] = pts
+        return jnp.array(out), jnp.array(v)
+
+    def rot_err_deg(Ta, Tb):
+        c = (np.trace(Ta[:3, :3].T @ Tb[:3, :3]) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    sa, va = pad(src, 448)
+    sb, vb = pad(dst, 416)
+    T_ref = np.asarray(masked_icp(sa, va, sb, vb, jnp.array(T0),
+                                  iters=10, trim=0.6))
+    err0 = rot_err_deg(T0, T)
+    err1 = rot_err_deg(T_ref, T)
+    assert err0 > 2.5                                           # sanity: init off
+    assert err1 < 1.0 and err1 < 0.35 * err0, (err0, err1)
+    assert np.linalg.norm(T_ref[:3, 3] - T[:3, 3]) < 0.005
+    # padding invariance: different capacity, same answer
+    sa2, va2 = pad(src, 512)
+    sb2, vb2 = pad(dst, 512)
+    T_ref2 = np.asarray(masked_icp(sa2, va2, sb2, vb2, jnp.array(T0),
+                                   iters=10, trim=0.6))
+    np.testing.assert_allclose(T_ref2, T_ref, atol=1e-4)
+    # degenerate clouds (3 valid points) must return the init unchanged
+    va3 = jnp.array(np.arange(448) < 3)
+    T_deg = np.asarray(masked_icp(sa, va3, sb, vb, jnp.array(T0),
+                                  iters=10, trim=0.6))
+    np.testing.assert_allclose(T_deg, T0, atol=1e-7)
+
+
 def test_transform_pcd_homogeneous(rng):
     T = random_pose(rng)
     pts = rng.randn(10, 3).astype(np.float32)

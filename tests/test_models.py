@@ -72,6 +72,36 @@ def test_clip_text_eot_pooling():
     assert np.abs(np.asarray(y[0]) - np.asarray(y3[0])).max() > 1e-6
 
 
+def test_remat_towers_forward_identical_and_grads_finite():
+    """Block remat (train_towers memory fit) must not change forward
+    numerics — same params, remat vs plain, bit-identical outputs — and the
+    rematerialized backward must produce finite grads through both towers."""
+    m0 = ClipVisionTower(SMALL_VIS, dtype=jnp.float32)
+    m1 = ClipVisionTower(SMALL_VIS, dtype=jnp.float32, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 56, 56, 3)),
+                    jnp.float32)
+    params = m0.init(KEY, x)
+    y0 = np.asarray(jax.jit(m0.apply)(params, x))
+    y1 = np.asarray(jax.jit(m1.apply)(params, x))
+    np.testing.assert_array_equal(y0, y1)
+    g = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    s0 = SwinGuidance(dtype=jnp.float32)
+    s1 = SwinGuidance(dtype=jnp.float32, remat=True)
+    xs = jnp.asarray(np.random.default_rng(1).normal(size=(1, 96, 96, 3)),
+                     jnp.float32)
+    sp = s0.init(KEY, xs)
+    a = jax.jit(s0.apply)(sp, xs)
+    b = jax.jit(s1.apply)(sp, xs)
+    for ga, gb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    gs = jax.grad(lambda p: sum(jnp.sum(t ** 2) for t in s1.apply(p, xs)))(sp)
+    for leaf in jax.tree_util.tree_leaves(gs):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_swin_guidance_shapes():
     m = SwinGuidance(dtype=jnp.float32)
     x = jnp.zeros((1, 96, 96, 3))  # small multiple-of-4 input

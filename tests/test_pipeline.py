@@ -101,6 +101,27 @@ def test_pipeline_recovers_gt_pose(solver):
         assert float(errT[b]) < 3.0, f"solver {solver} trans err {float(errT[b])}"
 
 
+def test_pipeline_icp_refine_runs_and_stays_accurate():
+    """cfg.icp_refine (dense trimmed-ICP pose refinement): the refined
+    pipeline compiles under vmap/jit and its pose error stays within the
+    unrefined test's bound on geometrically-consistent synthetic depth."""
+    import dataclasses
+
+    batch = synthetic_pair_batch(seed=3, batch=2, img_hw=(64, 64),
+                                 orig_hw=(240, 320), n_corrs=256,
+                                 n_prompts=2, context_len=16, vocab=600)
+    model = OracleFeatureModel(batch)
+    cfg = dataclasses.replace(_pipeline_cfg("ransac"), icp_refine=True,
+                              icp_points=256, icp_iters=6, icp_trim=0.7)
+    fn = build_pipeline(model, None, cfg)
+    out = fn(KEY, batch)
+    assert np.asarray(out.detection_valid).all()
+    errR, errT = rotation_translation_errors(batch.rel_pose, out.pred_rel_pose)
+    for b in range(2):
+        assert float(errR[b]) < 3.0, f"icp rot err {float(errR[b])}"
+        assert float(errT[b]) < 3.0, f"icp trans err {float(errT[b])}"
+
+
 def test_pipeline_with_real_model_shapes():
     batch = synthetic_pair_batch(seed=0, batch=2, img_hw=(28, 28),
                                  orig_hw=(120, 160), n_corrs=64,
