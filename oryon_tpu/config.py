@@ -149,7 +149,7 @@ class TestConfig:
     # (pipeline.PipelineConfig icp_*; geometry/kabsch.py masked_icp).
     icp_refine: bool = False
     icp_points: int = 512
-    icp_iters: int = 8
+    icp_iters: int = 48
     icp_trim: float = 0.7
 
 
@@ -169,6 +169,12 @@ class TrainingConfig:
     n_epochs: int = 20
     freq_save: int = 5
     freq_valid: int = 5
+    # gradient accumulation: split each batch into this many micro-batches
+    # inside the jitted step (train.train_step) — activation memory scales
+    # with B/accum_steps while the optimizer still sees the full-batch mean
+    # gradient.  Needed for model.train_towers at effective B=32 on one
+    # v5e chip (the unfrozen backward OOMs otherwise; BASELINE.md round 4).
+    accum_steps: int = 1
     # host-RSS watchdog: the TPU relay backend leaks ~1 byte of host memory
     # per H2D byte transferred (measured — BASELINE.md round 2), so any
     # multi-hour run eventually OOMs the host.  When RSS crosses this bound

@@ -214,45 +214,89 @@ def masked_icp(
     iters: int = 8,
     trim: float = 0.7,
 ) -> jnp.ndarray:
-    """Trimmed, validity-masked ICP for pose REFINEMENT on fixed-capacity
-    clouds — the dense-geometry upgrade the correspondence solvers can't
-    reach (their precision is floored by featmap-pixel quantization of the
-    matches; ICP aligns the full masked depth clouds directly).
+    """Symmetric trimmed, validity-masked ICP for pose REFINEMENT on
+    fixed-capacity clouds — the dense-geometry upgrade the correspondence
+    solvers can't reach (their precision is floored by featmap-pixel
+    quantization of the matches; ICP aligns the full masked depth clouds
+    directly).
 
     src [N,3], dst [M,3] in meters with ``*_valid`` masks for padded slots
     (ops/sampling.py fixed-capacity contract).  Per iteration: transform
-    ORIGINAL src by the current T, NN-match on a fp32-clamped MXU distance
-    matrix (invalid dst columns = +inf), keep the best ``trim`` fraction of
-    valid matches (distance-quantile threshold — partial-overlap handling:
-    points seen only in one view get trimmed), refit FROM THE ORIGINAL src
-    with weighted_kabsch (no incremental drift).  Fixed trip count, fully
-    vmap/jit-friendly; degenerate iterations (<4 trimmed matches) keep the
-    previous T.  No reference analog: the reference defines but never calls
-    its icp (utils/geo6d.py:157, unused per pipeline.py imports).
+    ORIGINAL src by the current T, build one MXU distance matrix (invalid
+    rows/cols = +inf), match SYMMETRICALLY (src->dst NN and dst->src NN —
+    one-directional trimmed NN on two different samplings of the same
+    surface is a biased estimator and can walk a good pose away; the
+    symmetric set cancels the sliding bias), trim each direction to its
+    best ``trim`` fraction (partial-overlap handling: points seen in only
+    one view get trimmed), refit FROM THE ORIGINAL points with
+    weighted_kabsch (no incremental drift).  Every iterate (including
+    ``init_T``) is scored by its symmetric trimmed RMS and the BEST-scoring
+    pose is returned, so refinement is monotone non-worsening by
+    construction even when the iteration diverges.  Fixed trip count,
+    fully vmap/jit-friendly; degenerate inputs (<4 valid points either
+    side) return ``init_T`` unchanged.  No reference analog: the reference
+    defines but never calls its icp (utils/geo6d.py:157, unused per
+    pipeline.py imports).
     """
     N = src.shape[0]
+    M = dst.shape[0]
     srcv = src_valid.astype(bool)
     dstv = dst_valid.astype(bool)
     n_src = jnp.sum(srcv)
-    # trimmed-match count: trim fraction of the valid src points
-    k_keep = jnp.clip((trim * n_src).astype(jnp.int32), 4, N)
+    n_dst = jnp.sum(dstv)
+    # trimmed-match counts: trim fraction of the valid points, per direction
+    k_src = jnp.clip((trim * n_src).astype(jnp.int32), 4, N)
+    k_dst = jnp.clip((trim * n_dst).astype(jnp.int32), 4, M)
+    init_T = init_T.astype(jnp.float32)
 
-    def body(T, _):
+    def match(T):
+        """Symmetric trimmed correspondences under T + the trimmed-RMS
+        score of T itself.  Returns (A, B, w, err): refit solves
+        weighted_kabsch(A, B, w) with A original-frame source points."""
         s = transform_pcd(src, T[:3, :3], T[:3, 3])
         d2 = sq_dist_matrix(s, dst)
         d2 = jnp.where(dstv[None, :], d2, jnp.inf)
-        nn = jnp.argmin(d2, axis=-1)
-        dist = jnp.sqrt(jnp.take_along_axis(d2, nn[:, None], axis=-1)[:, 0])
-        dist = jnp.where(srcv, dist, jnp.inf)
-        thr = jnp.sort(dist)[jnp.maximum(k_keep - 1, 0)]
-        w = (srcv & (dist <= thr) & jnp.isfinite(dist)).astype(jnp.float32)
-        ok = jnp.sum(w) >= 4
-        T_new = weighted_kabsch(src, dst[nn], w)
-        return jnp.where(ok, T_new, T), None
+        d2 = jnp.where(srcv[:, None], d2, jnp.inf)
+        # forward: each valid src point -> nearest valid dst point
+        nn_f = jnp.argmin(d2, axis=-1)
+        df = jnp.sqrt(jnp.take_along_axis(d2, nn_f[:, None], axis=-1)[:, 0])
+        df = jnp.where(srcv, df, jnp.inf)
+        thr_f = jnp.sort(df)[jnp.maximum(k_src - 1, 0)]
+        wf = (srcv & (df <= thr_f) & jnp.isfinite(df)).astype(jnp.float32)
+        # backward: each valid dst point -> nearest valid src point
+        nn_b = jnp.argmin(d2, axis=0)
+        db = jnp.sqrt(d2[nn_b, jnp.arange(M)])
+        db = jnp.where(dstv, db, jnp.inf)
+        thr_b = jnp.sort(db)[jnp.maximum(k_dst - 1, 0)]
+        wb = (dstv & (db <= thr_b) & jnp.isfinite(db)).astype(jnp.float32)
+        # symmetric trimmed RMS — the acceptance score for T
+        wsum = jnp.sum(wf) + jnp.sum(wb)
+        sq = (jnp.sum(jnp.where(wf > 0, df * df, 0.0))
+              + jnp.sum(jnp.where(wb > 0, db * db, 0.0)))
+        err = jnp.sqrt(sq / jnp.maximum(wsum, 1.0))
+        A = jnp.concatenate([src, src[nn_b]], axis=0)    # [N+M, 3] originals
+        B = jnp.concatenate([dst[nn_f], dst], axis=0)
+        w = jnp.concatenate([wf, wb], axis=0)
+        return A, B, w, err
 
-    T, _ = jax.lax.scan(body, init_T.astype(jnp.float32), None, length=iters)
-    enough = (n_src >= 4) & (jnp.sum(dstv) >= 4)
-    return jnp.where(enough, T, init_T.astype(jnp.float32))
+    def body(carry, _):
+        T_cur, T_best, e_best = carry
+        A, B, w, err = match(T_cur)
+        better = err < e_best
+        T_best = jnp.where(better, T_cur, T_best)
+        e_best = jnp.where(better, err, e_best)
+        ok = jnp.sum(w) >= 4
+        T_new = weighted_kabsch(A, B, w)
+        T_cur = jnp.where(ok, T_new, T_cur)
+        return (T_cur, T_best, e_best), None
+
+    (T_cur, T_best, e_best), _ = jax.lax.scan(
+        body, (init_T, init_T, jnp.inf), None, length=iters)
+    # the last refit was produced but never scored — score it too
+    _, _, _, err_last = match(T_cur)
+    T_best = jnp.where(err_last < e_best, T_cur, T_best)
+    enough = (n_src >= 4) & (n_dst >= 4)
+    return jnp.where(enough, T_best, init_T)
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))

@@ -51,7 +51,7 @@ class PipelineConfig:
     # masked_icp).  Off by default for strict reference parity.
     icp_refine: bool = False
     icp_points: int = 512               # per-view cloud capacity
-    icp_iters: int = 8
+    icp_iters: int = 48
     icp_trim: float = 0.7               # kept fraction (partial overlap)
     # learning-signal metrics (reference compute_fmr, utils/metrics.py:59-77):
     # FMR over features at the GT correspondence pixels (dist = inverted
@@ -300,20 +300,15 @@ def build_pointdsc_solver(pretrained_dir: str, key, n_corrs: int):
     return pd, pd_vars
 
 
-def build_pipeline(
+def make_run_fn(
     model: OryonModel,
-    params,
     cfg: PipelineConfig,
     pointdsc: Optional[Tuple[PointDSC, Dict]] = None,
-    mesh=None,
 ):
-    """Returns a jitted fn: (key, PairBatch) -> PipelineOutputs.
-
-    ``mesh``: optional jax.sharding.Mesh. Inference is embarrassingly
-    data-parallel (no cross-pair state), so eval sweeps scale over chips by
-    sharding the batch on the ``data`` axis with replicated parameters —
-    the multi-chip analog of the reference's single-process test loop.
-    """
+    """The pure eval program: (params, key, PairBatch, text_emb) ->
+    PipelineOutputs.  Exposed separately from ``build_pipeline`` so tests
+    can AOT-lower the PRODUCTION-shape program with abstract sharded
+    arguments (tests/test_tp_fullscale.py) without materializing weights."""
     if cfg.solver == "pointdsc" and pointdsc is None:
         raise ValueError("pointdsc solver needs (model, params)")
 
@@ -462,6 +457,24 @@ def build_pipeline(
             feat_ratio=feat_ratio,
         )
 
+    return run
+
+
+def build_pipeline(
+    model: OryonModel,
+    params,
+    cfg: PipelineConfig,
+    pointdsc: Optional[Tuple[PointDSC, Dict]] = None,
+    mesh=None,
+):
+    """Returns a jitted fn: (key, PairBatch) -> PipelineOutputs.
+
+    ``mesh``: optional jax.sharding.Mesh. Inference is embarrassingly
+    data-parallel (no cross-pair state), so eval sweeps scale over chips by
+    sharding the batch on the ``data`` axis with replicated parameters —
+    the multi-chip analog of the reference's single-process test loop.
+    """
+    run = make_run_fn(model, cfg, pointdsc)
     from oryon_tpu.data.pair_batch import device_fields
 
     # params ride as a jit ARGUMENT: closing over them would bake ~1.2 GB of

@@ -157,22 +157,66 @@ def loss_and_metrics(model, loss_cfg, params, batch: PairBatch, key):
 
 
 def train_step(state: TrainState, batch: PairBatch, key: jax.Array,
-               aug_cfg=None):
+               aug_cfg=None, accum_steps: int = 1):
     """One optimization step; jit with donate_argnums=(0,) at call sites.
 
     ``aug_cfg`` (static, a data.device_augment.DeviceAugConfig or None)
     applies the color/flip augmentation stack ON DEVICE before the forward —
     fused into this program, so it adds no launches and no host work (the
     1-core host is the measured training bottleneck; BASELINE.md round 2).
+
+    ``accum_steps`` (static) > 1 enables GRADIENT ACCUMULATION: the [B,...]
+    batch is split into ``accum_steps`` micro-batches of B/accum_steps and
+    scanned with a running gradient sum, then ONE optimizer update applies
+    the mean gradient.  Bitwise-equivalent objective (the feature/mask
+    losses are per-sample means, so the mean of micro-batch grads equals
+    the full-batch grad up to fp assoc), but activation memory scales with
+    the MICRO batch — this is what fits the unfrozen-tower (train_towers)
+    backward in v5e HBM at effective B=32 (the B=16 full step OOMed in the
+    real trainer; BASELINE.md round 4).  The schedule/step count still
+    advance once per optimizer step.
     """
     if aug_cfg is not None:
         from oryon_tpu.data.device_augment import device_augment
         batch = device_augment(batch, jax.random.fold_in(key, 0x0a), aug_cfg)
 
-    def lf(p):
-        return loss_and_metrics(state.model, state.loss_cfg, p, batch, key)
+    def lf(p, b, k):
+        return loss_and_metrics(state.model, state.loss_cfg, p, b, k)
 
-    (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+    if accum_steps <= 1:
+        (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params, batch, key)
+    else:
+        B = batch.corrs.shape[0]
+        if B % accum_steps != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by accum_steps {accum_steps}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, B // accum_steps) + x.shape[1:]),
+            batch)
+        keys = jax.random.split(key, accum_steps)
+
+        def one(b, k):
+            return jax.value_and_grad(lf, has_aux=True)(state.params, b, k)
+
+        # zero-init carry from abstract shapes — backward compiles ONCE
+        shapes = jax.eval_shape(one, jax.tree.map(lambda x: x[0], micro),
+                                keys[0])
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def body(carry, inp):
+            (_, msum), gsum = carry
+            b, k = inp
+            (lm, g) = one(b, k)
+            return ((None, jax.tree.map(jnp.add, msum, lm[1])),
+                    jax.tree.map(jnp.add, gsum, g)), None
+
+        ((_, msum), gsum), _ = jax.lax.scan(
+            body, ((None, zeros[0][1]), zeros[1]), (micro, keys))
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda x: x * inv, gsum)
+        metrics = jax.tree.map(lambda x: x * inv, msum)
+
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(step=state.step + 1, params=new_params,
@@ -180,11 +224,11 @@ def train_step(state: TrainState, batch: PairBatch, key: jax.Array,
     return new_state, metrics
 
 
-def jit_train_step(donate: bool = True, aug_cfg=None):
+def jit_train_step(donate: bool = True, aug_cfg=None, accum_steps: int = 1):
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else (),
-                     static_argnames=("aug_cfg",))
+                     static_argnames=("aug_cfg", "accum_steps"))
 
     def run(state: TrainState, batch: PairBatch, key: jax.Array):
-        return jitted(state, device_fields(batch), key, aug_cfg)
+        return jitted(state, device_fields(batch), key, aug_cfg, accum_steps)
 
     return run

@@ -161,7 +161,11 @@ def main(argv):
         from oryon_tpu.parallel.tp import shard_params_tp
         state = state.replace(params=shard_params_tp(state.params, mesh))
         print(f"tensor-parallel params over model axis = {cfg.mesh.model}")
-    step_fn = jit_train_step(donate=True, aug_cfg=device_aug_cfg)
+    step_fn = jit_train_step(donate=True, aug_cfg=device_aug_cfg,
+                             accum_steps=cfg.training.accum_steps)
+    if cfg.training.accum_steps > 1:
+        print(f"gradient accumulation: {cfg.training.accum_steps} micro-batches "
+              f"of {cfg.dataset.batch_size // cfg.training.accum_steps}")
     if device_aug_cfg is not None:
         print("augmentations: on-device (color jitter + flips fused into "
               "the train step)")

@@ -194,7 +194,7 @@ def test_masked_icp_partial_overlap_refines(rng):
     sa, va = pad(src, 448)
     sb, vb = pad(dst, 416)
     T_ref = np.asarray(masked_icp(sa, va, sb, vb, jnp.array(T0),
-                                  iters=10, trim=0.6))
+                                  iters=48, trim=0.6))
     err0 = rot_err_deg(T0, T)
     err1 = rot_err_deg(T_ref, T)
     assert err0 > 2.5                                           # sanity: init off
@@ -204,12 +204,12 @@ def test_masked_icp_partial_overlap_refines(rng):
     sa2, va2 = pad(src, 512)
     sb2, vb2 = pad(dst, 512)
     T_ref2 = np.asarray(masked_icp(sa2, va2, sb2, vb2, jnp.array(T0),
-                                   iters=10, trim=0.6))
+                                   iters=48, trim=0.6))
     np.testing.assert_allclose(T_ref2, T_ref, atol=1e-4)
     # degenerate clouds (3 valid points) must return the init unchanged
     va3 = jnp.array(np.arange(448) < 3)
     T_deg = np.asarray(masked_icp(sa, va3, sb, vb, jnp.array(T0),
-                                  iters=10, trim=0.6))
+                                  iters=48, trim=0.6))
     np.testing.assert_allclose(T_deg, T0, atol=1e-7)
 
 

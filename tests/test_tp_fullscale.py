@@ -127,3 +127,61 @@ def test_full_scale_dp_tp_lowering():
     assert n_model > 20, (
         f"only {n_model} arguments carry a 'model'-axis sharding — the TP "
         f"rules silently stopped matching the full tree")
+
+
+@pytest.mark.slow
+def test_full_scale_eval_dp_tp_lowering():
+    """Same evidence as test_full_scale_dp_tp_lowering but for the EVAL /
+    SERVING program (run_test.py: build_pipeline under serving_mesh with
+    shard_params_tp) — the one multi-chip surface that had no
+    production-shape lowering test (VERDICT r4 weak #6).  AOT-lowers
+    pipeline.make_run_fn (full model, B=8 @ 224^2, pointdsc solver) on a
+    4x2 dp x tp mesh with TP param shardings + data-sharded batch and
+    asserts sharded HLO."""
+    from oryon_tpu.config import load_config
+    from oryon_tpu.models.pointdsc import PointDSC, PointDSCConfig
+    from oryon_tpu.pipeline import make_pipeline_config, make_run_fn
+
+    model, abs_state = _full_abstract_params()
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+
+    cfg = load_config(None, ["dataset.batch_size=8"])
+    pcfg = make_pipeline_config(cfg, solver="pointdsc")
+
+    # pointdsc rides as closure constants (tiny net — materialized for real)
+    pd = PointDSC(PointDSCConfig(num_layers=2))
+    pts = jnp.zeros((cfg.dataset.max_corrs, 3), jnp.float32)
+    pd_params = pd.init(jax.random.PRNGKey(0), pts, pts,
+                        jnp.ones((cfg.dataset.max_corrs,), jnp.float32))
+    run = make_run_fn(model, pcfg, (pd, pd_params))
+
+    from oryon_tpu.data.synthetic import synthetic_pair_batch
+    batch = synthetic_pair_batch(seed=0, batch=8, img_hw=(224, 224),
+                                 n_corrs=cfg.dataset.max_corrs, n_prompts=80,
+                                 context_len=77)
+    batch = batch._replace(cls_id=None, instance_id=None, id_a=None,
+                           id_q=None)
+    batch_abs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, P("data"))),
+        batch)
+
+    def place(path, leaf):
+        return jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype,
+            sharding=NamedSharding(mesh, tp_spec(path, leaf)))
+
+    params_abs = jax.tree_util.tree_map_with_path(place, abs_state)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    lowered = jax.jit(run).lower(params_abs, key, batch_abs, None)
+    txt = lowered.as_text()
+    n_annot = len(re.findall(r"mhlo\.sharding|sdy\.sharding", txt))
+    assert n_annot > 100, (
+        f"expected sharded HLO, found {n_annot} sharding annotations")
+    assert (re.search(r'sdy\.mesh @mesh = <\["data"=4, "model"=2\]>', txt)
+            or re.search(r"devices=\[", txt)), "4x2 mesh absent from HLO"
+    n_model = len(re.findall(r'\{"model"\}', txt))
+    assert n_model > 20, (
+        f"only {n_model} arguments carry a 'model'-axis sharding in the "
+        f"eval program")
