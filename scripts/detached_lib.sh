@@ -33,12 +33,23 @@ run_step() {    # run_step TAG TIMEOUT_S CMD... — abort the job on failure
     echo "--- STEP $tag ok $(date -u +%FT%TZ)"
 }
 
-newest_since() {  # newest_since TAG GLOB — newest GLOB file from this step
-    local tag=$1 glob=$2 marker="/tmp/.step_marker_$tag" f
+# newest_since TAG GLOB — newest GLOB file created after step TAG began.
+# Prints the path; rc=1 + empty output when the step produced nothing.
+# NOTE 1: `local a=$1 b=$a` expands $a BEFORE any assignment lands (all
+# words expand first, then `local` assigns) — marker must be its own line;
+# this exact bug shipped an empty marker path in the first round-5 chain.
+# NOTE 2: this runs inside $(...) at call sites, so it cannot abort the
+# job itself (exit only leaves the subshell) — callers MUST write
+#     VAR=$(newest_since tag glob) || exit 1
+newest_since() {
+    local tag=$1
+    local glob=$2
+    local marker="/tmp/.step_marker_$tag"
+    local f
     f=$(find $glob -newer "$marker" -type f 2>/dev/null | xargs -r ls -t 2>/dev/null | head -1)
     if [ -z "$f" ]; then
         echo "!!! STEP $tag produced no output matching $glob — ABORTING JOB" >&2
-        exit 1
+        return 1
     fi
     echo "$f"
 }

@@ -44,35 +44,34 @@ PAIR_GLOB="$RDIR/shapenet6d_val_*.json"  # per-pair metrics JSONs
 
 # --- 2. checkpoint sweep (serving defaults: int8 tower, pointdsc solver)
 run_step sweep 7200 python scripts/sweep_checkpoints.py exp_name=prod40 $VAL
-SWEEP_JSON=$(newest_since sweep "$RDIR/ckpt_sweep_*.json")
+SWEEP_JSON=$(newest_since sweep "$RDIR/ckpt_sweep_*.json") || exit 1
 BEST=$(python -c "import json,sys; print(json.load(open('$SWEEP_JSON'))['best_epoch'])")
 echo "BEST_EPOCH=$BEST (from $SWEEP_JSON)"
 
 # --- 3. full 2000-pair eval on the best epoch (headline row)
 run_step headline 7200 python run_test.py exp_name=prod40 $VAL2K eval.ckpt=$BEST
-HEADLINE_JSON=$(newest_since headline "$PAIR_GLOB")
+HEADLINE_JSON=$(newest_since headline "$PAIR_GLOB") || exit 1
 echo "HEADLINE_JSON=$HEADLINE_JSON"
 
 # --- 4. ladder on the best epoch (bf16 strict parity, 240-pair val,
 # identical protocol to the BASELINE.md round-4 prod3 ladder)
 run_step ladder_gt 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     model.quant=none debug_valid=true
-LADDER_GT=$(newest_since ladder_gt "$PAIR_GLOB")
+LADDER_GT=$(newest_since ladder_gt "$PAIR_GLOB") || exit 1
 run_step ladder_oracle 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     model.quant=none test.mask=oracle
-LADDER_ORACLE=$(newest_since ladder_oracle "$PAIR_GLOB")
+LADDER_ORACLE=$(newest_since ladder_oracle "$PAIR_GLOB") || exit 1
 run_step ladder_pred 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     model.quant=none
-LADDER_PRED=$(newest_since ladder_pred "$PAIR_GLOB")
-
+LADDER_PRED=$(newest_since ladder_pred "$PAIR_GLOB") || exit 1
 # --- 5. fused-MHA int8-logit A/B under serving defaults (int8 tower),
 # 240-pair val, paired bootstrap CI
 run_step ab_fused 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     model.attn_impl=fused
-AB_FUSED=$(newest_since ab_fused "$PAIR_GLOB")
+AB_FUSED=$(newest_since ab_fused "$PAIR_GLOB") || exit 1
 run_step ab_i8qk 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     model.attn_impl=fused_i8qk
-AB_I8QK=$(newest_since ab_i8qk "$PAIR_GLOB")
+AB_I8QK=$(newest_since ab_i8qk "$PAIR_GLOB") || exit 1
 run_step ci 600 bash -c "set -o pipefail; python scripts/bootstrap_ci.py '$AB_FUSED' '$AB_I8QK' | tee /tmp/i8qk_ci.txt"
 
 echo "=== FINISH_PROD40 SUMMARY $(date -u +%FT%TZ) ==="

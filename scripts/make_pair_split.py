@@ -72,6 +72,11 @@ def lift_masked(item):
 
 
 def main(argv):
+    # offline tool: ORYON_CPU=1 keeps the 3D-NN matmuls off the (possibly
+    # busy) TPU — sitecustomize forces the axon platform otherwise
+    if os.environ.get("ORYON_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     split_name = kv.pop("split_name", "custom_split")
     n_pairs = int(kv.pop("n_pairs", "2000"))

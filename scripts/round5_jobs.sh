@@ -28,24 +28,29 @@ echo "=== round5_jobs $(date -u +%FT%TZ) ==="
 # GT-corrs ladder rung (re-run of the crashed finish_prod40 step 4a):
 # bf16 strict parity + debug_valid=true (GT correspondences feed the
 # solver; isolates the solver ceiling — reference configs/config.yaml:11)
-run_step gt_rung 3600 python run_test.py exp_name=prod40 $VAL \
-    eval.ckpt=$BEST model.quant=none debug_valid=true
-GT_JSON=$(newest_since gt_rung "$PAIR_GLOB")
+GT_DONE="$RDIR/shapenet6d_val_all_20082026_1031.json"  # first chain attempt
+if [ -f "$GT_DONE" ]; then
+    GT_JSON=$GT_DONE   # rung already measured this round; don't redo it
+else
+    run_step gt_rung 3600 python run_test.py exp_name=prod40 $VAL \
+        eval.ckpt=$BEST model.quant=none debug_valid=true
+    GT_JSON=$(newest_since gt_rung "$PAIR_GLOB") || exit 1
+fi
 echo "LADDER_GT=$GT_JSON"
 
 # ---------------------------------------------------------------- stage 2
 # icp_refine A/B on the best epoch, serving defaults (int8 tower, pointdsc)
 # — baseline is a fresh default run (same process protocol as the variant).
 run_step icp_base 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST
-ICP_BASE=$(newest_since icp_base "$PAIR_GLOB")
+ICP_BASE=$(newest_since icp_base "$PAIR_GLOB") || exit 1
 run_step icp_on 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     test.icp_refine=true
-ICP_ON=$(newest_since icp_on "$PAIR_GLOB")
+ICP_ON=$(newest_since icp_on "$PAIR_GLOB") || exit 1
 run_step icp_ci 600 bash -c "set -o pipefail; python scripts/bootstrap_ci.py '$ICP_BASE' '$ICP_ON' | tee /tmp/icp_ci.txt"
 # second variant: bigger clouds, harder trim
 run_step icp_v2 3600 python run_test.py exp_name=prod40 $VAL eval.ckpt=$BEST \
     test.icp_refine=true test.icp_points=1024 test.icp_trim=0.6
-ICP_V2=$(newest_since icp_v2 "$PAIR_GLOB")
+ICP_V2=$(newest_since icp_v2 "$PAIR_GLOB") || exit 1
 run_step icp_ci2 600 bash -c "set -o pipefail; python scripts/bootstrap_ci.py '$ICP_BASE' '$ICP_V2' | tee /tmp/icp_ci2.txt"
 
 # ---------------------------------------------------------------- stage 3
@@ -74,7 +79,7 @@ else
         training.freq_valid=2 resume_ckpt=none
     run_step towerft_sweep 7200 python scripts/sweep_checkpoints.py \
         exp_name=prod40tt $VAL
-    TT_SWEEP=$(newest_since towerft_sweep "exp_data/prod40tt/results/ckpt_sweep_*.json")
+    TT_SWEEP=$(newest_since towerft_sweep "exp_data/prod40tt/results/ckpt_sweep_*.json") || exit 1
     echo "TOWERFT_SWEEP=$TT_SWEEP (compare vs prod40 240-pair AR 0.8811)"
 fi
 
@@ -95,7 +100,7 @@ for spec in \
     run_step train_$name 14400 python run_train.py exp_name=$name $HP_COMMON $ov
     run_step sweep_$name 7200 python scripts/sweep_checkpoints.py \
         exp_name=$name $VAL
-    SW=$(newest_since sweep_$name "exp_data/$name/results/ckpt_sweep_*.json")
+    SW=$(newest_since sweep_$name "exp_data/$name/results/ckpt_sweep_*.json") || exit 1
     echo "HP_SWEEP $name = $SW  (overrides: '$ov')"
 done
 

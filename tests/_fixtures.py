@@ -15,12 +15,17 @@ from os.path import join
 import numpy as np
 
 
-def make_nocs_tree(root, rs=None, scenes=None, pairs=None):
+def make_nocs_tree(root, rs=None, scenes=None, pairs=None, flat_depth=None):
     """Write a miniature REAL275-format dataset under ``root``.
 
     scenes: list of (scene, img) views to render (default: 3 views).
     pairs: list of ((sa, ia), (sq, iq)) anchor/query pairs for the fixed
-    split (default: 2 pairs).  Returns ``root``.
+    split (default: 2 pairs).  flat_depth: when set (mm), every view gets
+    this constant depth instead of random — makes same-scene views
+    3D-CONSISTENT (identical lifted clouds under the shared per-scene
+    pose) so correspondence builders like scripts/make_pair_split.py can
+    actually find matches on the fixture (asset-day drill).  Returns
+    ``root``.
     """
     from PIL import Image
 
@@ -39,7 +44,10 @@ def make_nocs_tree(root, rs=None, scenes=None, pairs=None):
         mask = np.full((H, W), 255, np.uint8)
         mask[20:40, 30:50] = 7  # mask id 7
         Image.fromarray(mask).save(base + "_mask.png")
-        depth = (rs.rand(H, W) * 1000 + 500).astype(np.uint16)
+        if flat_depth is not None:
+            depth = np.full((H, W), int(flat_depth), np.uint16)
+        else:
+            depth = (rs.rand(H, W) * 1000 + 500).astype(np.uint16)
         Image.fromarray(depth).save(base + "_depth.png")
         with open(base + "_meta.txt", "w") as f:
             f.write(f"7 3 {obj_name}\n")
