@@ -24,12 +24,16 @@ writes the table to <exp>/results/eval_hparams_<stamp>.json.
 from __future__ import annotations
 
 import faulthandler
+import io
 import json
 import os
 import sys
 from datetime import datetime
 
-faulthandler.enable()
+try:
+    faulthandler.enable()
+except io.UnsupportedOperation:
+    pass  # pytest-captured stderr has no fileno (test_scripts CLI test)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
