@@ -1,7 +1,10 @@
 #!/bin/bash
 # Follow-up to round5_jobs.sh: once the chain finishes, re-measure the
-# HEADLINE numbers with the icp_refine win applied (the 240-pair A/B moved
-# AR 0.8811 -> 0.9392, /tmp/icp_ci.txt) and stack the best eval-time knob.
+# HEADLINE numbers with the icp_refine win applied (240-pair A/B:
+# AR 0.8811 -> 0.9392 default knobs, -> 0.9486 with icp_points=1024
+# icp_trim=0.6, /tmp/icp_ci{,2}.txt; the v2 knobs also win the direct
+# on-vs-v2 bootstrap on VSD/MSPD/ADD(S)/R/T) and stack the best
+# eval-time knob.
 #
 # Launch detached:
 #   setsid nohup bash scripts/after_round5_jobs.sh >> /tmp/after_r5.log 2>&1 \
@@ -24,15 +27,17 @@ while ! grep -q "=== done ===\|ABORTING JOB" /tmp/round5_jobs.log 2>/dev/null; d
 done
 echo "=== chain finished $(date -u +%FT%TZ)"
 
-# 1. new 2000-pair headline: serving defaults + icp_refine
+# 1. new 2000-pair headline: serving defaults + icp_refine (v2 knobs —
+# the measured best: icp_points=1024, icp_trim=0.6)
 run_step headline_icp 7200 python run_test.py exp_name=prod40 $VAL2K \
-    eval.ckpt=$BEST test.icp_refine=true
+    eval.ckpt=$BEST test.icp_refine=true test.icp_points=1024 test.icp_trim=0.6
 HEADLINE_ICP=$(newest_since headline_icp "$PAIR_GLOB") || exit 1
 run_step headline_ci 600 bash -c "set -o pipefail; python scripts/bootstrap_ci.py '$OLD_HEADLINE' '$HEADLINE_ICP' | tee /tmp/headline_icp_ci.txt"
 
-# 2. stacked knobs on the 240-pair val: icp + dist_th=0.15 (hp-grid best)
+# 2. stacked knobs on the 240-pair val: icp v2 + dist_th=0.15 (hp-grid best)
 run_step stack240 3600 python run_test.py exp_name=prod40 $VAL \
-    eval.ckpt=$BEST test.icp_refine=true test.dist_th=0.15
+    eval.ckpt=$BEST test.icp_refine=true test.icp_points=1024 \
+    test.icp_trim=0.6 test.dist_th=0.15
 STACK240=$(newest_since stack240 "$PAIR_GLOB") || exit 1
 
 echo "=== AFTER_R5 SUMMARY $(date -u +%FT%TZ) ==="
