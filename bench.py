@@ -68,8 +68,14 @@ def main() -> None:
     # 2000 pairs, so steady-state inference reuses cached prompt embeddings
     encode_text = jax.jit(lambda p, i: model.apply(p, i, method=model.encode_prompts))
 
+    # dense ICP refinement follows the SHIPPED serving default
+    # (config.py TestConfig.icp_refine — measured +0.07 AR, BASELINE.md
+    # round-5); both on/off are measured so the throughput cost stays visible
+    from oryon_tpu.config import TestConfig
+    tc = TestConfig()
+
     def pipeline(params, pd_vars, key, rgb_a, rgb_q, text_emb, depth_a,
-                 depth_q, camera, solver: str, mdl):
+                 depth_q, camera, solver: str, mdl, icp: bool):
         out = mdl.apply(params, rgb_a, rgb_q, None, text_emb)
         mask_a = (jax.nn.sigmoid(out.mask_a) > 0.5).astype(jnp.uint8)
         mask_q = (jax.nn.sigmoid(out.mask_q) > 0.5).astype(jnp.uint8)
@@ -95,6 +101,18 @@ def main() -> None:
                 lambda k, a, b, w: ransac_kabsch(
                     k, a, b, w, num_hypotheses=256, match_err=0.001)
             )(keys, pa, pq, v)
+        if icp:
+            from oryon_tpu.pipeline import PipelineConfig, _icp_refine_pose
+            pcfg = PipelineConfig(icp_refine=True, icp_points=tc.icp_points,
+                                  icp_iters=tc.icp_iters, icp_trim=tc.icp_trim)
+            feat_hw = (mask_a.shape[1], mask_a.shape[2])
+            size = jnp.tile(jnp.array([480.0, 640.0], jnp.float32), (B, 1))
+            ikeys = jax.random.split(jax.random.fold_in(key, 7), B)
+            poses = jax.vmap(
+                lambda k, T, n, ma, mq, da, dq, cam, sz: _icp_refine_pose(
+                    k, T, n, ma, mq, da, dq, cam, cam, sz, sz, feat_hw, pcfg)
+            )(ikeys, poses, inl, mask_a, mask_q, depth_a, depth_q, camera,
+              size)
         return poses, inl
 
     def sync(out):
@@ -102,18 +120,19 @@ def main() -> None:
         # before the computation runs; a host copy is the reliable barrier
         return float(np.asarray(out[0]).sum())
 
-    run = jax.jit(pipeline, static_argnames=("solver", "mdl"))
+    run = jax.jit(pipeline, static_argnames=("solver", "mdl", "icp"))
     key = jax.random.PRNGKey(0)
     text_emb = encode_text(params, ids)
 
-    def measure(solver: str, iters: int = 10, mdl=None) -> float:
+    def measure(solver: str, iters: int = 10, mdl=None,
+                icp: bool = tc.icp_refine) -> float:
         mdl = mdl or model
         sync(run(params, pd_vars, key, rgb_a, rgb_q, text_emb, depth_a,
-                 depth_q, camera, solver, mdl))
+                 depth_q, camera, solver, mdl, icp))
         t0 = time.perf_counter()
         for i in range(iters):
             out = run(params, pd_vars, jax.random.PRNGKey(i), rgb_a, rgb_q,
-                      text_emb, depth_a, depth_q, camera, solver, mdl)
+                      text_emb, depth_a, depth_q, camera, solver, mdl, icp)
         sync(out)
         return B * iters / (time.perf_counter() - t0)
 
@@ -125,6 +144,9 @@ def main() -> None:
     int8 = measure("pointdsc", mdl=int8_model)
     bf16 = measure("pointdsc")          # strict-parity variant (quant=none)
     ransac = measure("ransac", mdl=int8_model)  # solver variant, same model
+    # the complementary ICP setting, so the refine stage's throughput cost
+    # stays visible whichever way the shipped default points
+    icp_flip = measure("pointdsc", mdl=int8_model, icp=not tc.icp_refine)
 
     # --trace=DIR: capture a device trace of the (already warm) headline
     # program for scripts/trace_op_table.py — device times are immune to the
@@ -139,7 +161,7 @@ def main() -> None:
             for i in range(t_iters):
                 out = run(params, pd_vars, jax.random.PRNGKey(i), rgb_a,
                           rgb_q, text_emb, depth_a, depth_q, camera,
-                          "pointdsc", int8_model)
+                          "pointdsc", int8_model, tc.icp_refine)
             sync(out)
         # drop the optimized HLO next to the trace so trace_op_table.py can
         # attribute fusions to pipeline stages STRUCTURALLY (op_name source
@@ -148,7 +170,7 @@ def main() -> None:
         import os as _os
         hlo_txt = run.lower(params, pd_vars, key, rgb_a, rgb_q, text_emb,
                             depth_a, depth_q, camera, "pointdsc",
-                            int8_model).compile().as_text()
+                            int8_model, tc.icp_refine).compile().as_text()
         with open(_os.path.join(trace_dir, "hlo.txt"), "w") as f:
             f.write(hlo_txt)
         print(f"decode: python scripts/trace_op_table.py {trace_dir} "
@@ -162,6 +184,9 @@ def main() -> None:
         "vs_baseline": round(int8 / REFERENCE_PROXY_PAIRS_PER_SEC, 2),
         "solver": "pointdsc",
         "quant": "int8",
+        "icp_refine": tc.icp_refine,
+        ("icp_off_variant" if tc.icp_refine else "icp_on_variant"):
+            round(icp_flip, 3),
         "bf16_parity_variant": round(bf16, 3),
         "ransac_variant": round(ransac, 3),
     }))

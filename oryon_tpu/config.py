@@ -143,14 +143,17 @@ class TestConfig:
     mask_threshold: float = 0.5
     only_save_masks: bool = False
     only_save_featmaps: bool = False
-    # oryon_tpu extension (OFF by default for strict reference parity — the
-    # reference defines icp but never calls it, utils/geo6d.py:157): dense
-    # trimmed-ICP refinement of the solver pose on the masked depth clouds
-    # (pipeline.PipelineConfig icp_*; geometry/kabsch.py masked_icp).
-    icp_refine: bool = False
-    icp_points: int = 512
+    # oryon_tpu extension — dense trimmed-ICP refinement of the solver pose
+    # on the masked depth clouds (pipeline.PipelineConfig icp_*;
+    # geometry/kabsch.py masked_icp).  ON by default since round 5: the
+    # measured-best knobs below lift 240-pair AR 0.8811 -> 0.9486 and cut
+    # R err 6.2 -> 3.8 deg (decisive paired bootstrap, BASELINE.md round-5).
+    # The reference defines but never calls its ICP (utils/geo6d.py:157);
+    # set icp_refine=false for strict reference-protocol parity.
+    icp_refine: bool = True
+    icp_points: int = 1024
     icp_iters: int = 48
-    icp_trim: float = 0.7
+    icp_trim: float = 0.6
 
 
 @dataclass

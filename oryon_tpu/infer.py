@@ -110,7 +110,9 @@ class OryonPredictor:
                  mask_source: str = "predicted", solver: str = "ransac",
                  pointdsc=None, n_corrs: int = 500, dist_th: float = 0.25,
                  mask_threshold: float = 0.5, vocabulary: str = "",
-                 mesh=None, seed: int = 0, tokenize_fn=None):
+                 mesh=None, seed: int = 0, tokenize_fn=None,
+                 icp_refine=None, icp_points=None, icp_iters=None,
+                 icp_trim=None):
         import jax
         from oryon_tpu.models.tokenizer import ClipTokenizer
         from oryon_tpu.ops.matching import MatchParams
@@ -134,9 +136,18 @@ class OryonPredictor:
                 return tokenizer(prompts, context_length=ctx)
 
         self._tokenize = tokenize_fn
+        # dense ICP refinement (BASELINE.md round-5: +0.07 AR at the
+        # measured-best knobs): None -> follow the shipped TestConfig
+        # defaults, so the serving path and run_test.py agree
+        from oryon_tpu.config import TestConfig
+        _tc = TestConfig()
         pcfg = PipelineConfig(
             mask_source=mask_source, mask_threshold=mask_threshold,
             solver=solver,
+            icp_refine=_tc.icp_refine if icp_refine is None else bool(icp_refine),
+            icp_points=_tc.icp_points if icp_points is None else int(icp_points),
+            icp_iters=_tc.icp_iters if icp_iters is None else int(icp_iters),
+            icp_trim=_tc.icp_trim if icp_trim is None else float(icp_trim),
             match=MatchParams(src_capacity=5120, max_corrs=n_corrs,
                               dist_th=dist_th))
         self._pipe = build_pipeline(model, params, pcfg, pointdsc, mesh=mesh)
@@ -228,7 +239,11 @@ class OryonPredictor:
                    n_corrs=cfg.test.n_corrs, dist_th=cfg.test.dist_th,
                    mask_threshold=cfg.test.mask_threshold,
                    vocabulary=cfg.pretrained.vocabulary, mesh=mesh,
-                   seed=cfg.seed if cfg.use_seed else 0)
+                   seed=cfg.seed if cfg.use_seed else 0,
+                   icp_refine=cfg.test.icp_refine,
+                   icp_points=cfg.test.icp_points,
+                   icp_iters=cfg.test.icp_iters,
+                   icp_trim=cfg.test.icp_trim)
 
     # ----- request plumbing -------------------------------------------------
 

@@ -73,6 +73,25 @@ def test_predict_batches_and_pads(engine):
     assert set(engine._text_cache) == {"mug", "bottle"}
 
 
+def test_predict_icp_refine_plumbed(engine):
+    """icp_refine=True builds a pipeline whose poses stay valid rigid
+    transforms (the refine stage runs inside the jitted batch program;
+    BASELINE.md round-5 measures its accuracy win on the full model)."""
+    from oryon_tpu.infer import OryonPredictor
+    icp_engine = OryonPredictor(
+        engine.model, engine.params, batch_size=2, img_size=IMG_HW,
+        depth_hw=DEPTH_HW, solver="ransac", n_corrs=64,
+        tokenize_fn=_fake_tokenize,
+        icp_refine=True, icp_points=64, icp_iters=4, icp_trim=0.7)
+    assert icp_engine._pipe is not None
+    rs = np.random.RandomState(2)
+    res = icp_engine.predict([_request(rs)])[0]
+    T = np.asarray(res["pose"])
+    R = T[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+    np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-6)
+
+
 def test_predict_masks_and_shape_guard(engine):
     rs = np.random.RandomState(1)
     res = engine.predict([_request(rs)], return_masks=True)[0]
