@@ -18,10 +18,10 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
 os.environ["XLA_FLAGS"] = flags
-# In-process CLI tests call enable_compilation_cache(); keep the CPU-test
-# cache separate from the device cache (a killed pytest run can leave a
-# truncated entry whose read later segfaults — see oryon_tpu/utils/cache.py).
-os.environ.setdefault("ORYON_JAX_CACHE_DIR", "/root/.cache/jax_comp_cache_cpu_tests")
+# In-process CLI tests call enable_compilation_cache(); disable the
+# persistent cache under pytest ("" = off) — reading entries back on the
+# CPU backend segfaults deterministically (see oryon_tpu/utils/cache.py).
+os.environ.setdefault("ORYON_JAX_CACHE_DIR", "")
 
 import jax  # noqa: E402
 
