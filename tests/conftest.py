@@ -39,6 +39,20 @@ def rng():
     return np.random.RandomState(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults compiling the nn.scan CLIP tower in a pytest
+    process warmed by ~150 earlier tests (reproduced 3x at the same suite
+    position, 2026-08-20, with and without the persistent compilation
+    cache — the crash is in backend_compile_and_load itself; the same
+    test passes in a fresh process).  Dropping the accumulated compiled
+    executables between modules keeps the process below whatever loader /
+    compiler state limit is being hit.  Costs a few cross-module
+    recompiles; fixture-cached MODEL OBJECTS are unaffected."""
+    yield
+    jax.clear_caches()
+
+
 def random_pose(rs: np.random.RandomState, t_scale: float = 0.5) -> np.ndarray:
     """Random SE(3) with a proper rotation."""
     A = rs.randn(3, 3)
