@@ -50,9 +50,14 @@ def engine():
     rgb = jnp.zeros((1, *IMG_HW, 3), jnp.float32)
     ids = jnp.array(_fake_tokenize("x")[None])
     params = init_by_shape(model, jax.random.PRNGKey(0), rgb, rgb, ids)
+    # icp_refine pinned OFF: the serving default (on since round 5) would
+    # add the 1024-pt x 48-iter refine program to every engine compile in
+    # this module (minutes each on the 1-core CPU host); ICP plumbing has
+    # its own dedicated cheap test below.
     return OryonPredictor(model, params, batch_size=2, img_size=IMG_HW,
                           depth_hw=DEPTH_HW, solver="ransac",
-                          n_corrs=64, tokenize_fn=_fake_tokenize)
+                          n_corrs=64, tokenize_fn=_fake_tokenize,
+                          icp_refine=False)
 
 
 def test_predict_batches_and_pads(engine):
@@ -115,7 +120,8 @@ def test_predict_mesh_data_parallel_matches_single_device(engine):
     mesh = make_mesh(len(jax.devices()), 1)
     B = len(jax.devices())
     kw = dict(batch_size=B, img_size=IMG_HW, depth_hw=DEPTH_HW,
-              solver="ransac", n_corrs=64, tokenize_fn=_fake_tokenize)
+              solver="ransac", n_corrs=64, tokenize_fn=_fake_tokenize,
+              icp_refine=False)  # see engine fixture
     sharded = OryonPredictor(engine.model, engine.params, mesh=mesh, **kw)
     # same batch size, no mesh: identical chunking AND identical per-chunk
     # RNG stream, so a sharding bug (e.g. wrong batch axis in the solver
