@@ -257,15 +257,19 @@ def masked_icp(
         d2 = sq_dist_matrix(s, dst)
         d2 = jnp.where(dstv[None, :], d2, jnp.inf)
         d2 = jnp.where(srcv[:, None], d2, jnp.inf)
-        # forward: each valid src point -> nearest valid dst point
+        # forward: each valid src point -> nearest valid dst point.
+        # NN distances come from jnp.min, NOT a gather at the argmin
+        # indices: take_along_axis row-gathers from the [N,M] matrix were
+        # 10 of masked_icp's 24 ms/iter in the device trace (round 5);
+        # min/argmin reduce in one fused pass and are bit-identical.
         nn_f = jnp.argmin(d2, axis=-1)
-        df = jnp.sqrt(jnp.take_along_axis(d2, nn_f[:, None], axis=-1)[:, 0])
+        df = jnp.sqrt(jnp.min(d2, axis=-1))
         df = jnp.where(srcv, df, jnp.inf)
         thr_f = jnp.sort(df)[jnp.maximum(k_src - 1, 0)]
         wf = (srcv & (df <= thr_f) & jnp.isfinite(df)).astype(jnp.float32)
         # backward: each valid dst point -> nearest valid src point
         nn_b = jnp.argmin(d2, axis=0)
-        db = jnp.sqrt(d2[nn_b, jnp.arange(M)])
+        db = jnp.sqrt(jnp.min(d2, axis=0))
         db = jnp.where(dstv, db, jnp.inf)
         thr_b = jnp.sort(db)[jnp.maximum(k_dst - 1, 0)]
         wb = (dstv & (db <= thr_b) & jnp.isfinite(db)).astype(jnp.float32)
